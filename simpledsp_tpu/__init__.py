@@ -1,0 +1,36 @@
+"""simpledsp_tpu — a TPU-native DSP / software-radio framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+``mike919192/simpledsp`` (FFT + cascaded-biquad IIR) extended to the full
+batched, sharded, multi-host signal chain: FIR/polyphase filtering, rational
+resampling, channelization, and FM/AM demodulation.
+
+Layering (bottom-up):
+  design/    host-side float64 coefficient/table design (trace-time constants)
+  ops/       functional JAX ops: fft, iir, fir, resample, channelizer, demod
+  kernels/   Pallas TPU kernels for hot paths
+  parallel/  mesh/sharding layer: shard_map pipelines, halo exchange
+  utils/     precision helpers, benchmarking tools
+"""
+
+from simpledsp_tpu.design.biquad import (
+    BiquadCascadeDesign,
+    FilterType,
+    design_bandpass,
+    design_bandstop,
+    design_highpass,
+    design_lowpass,
+)
+from simpledsp_tpu.ops.fft import fft, fft_radix2, fft_radix4, ifft
+from simpledsp_tpu.ops.iir import (
+    BlockIIR,
+    CascadeCoeffs,
+    IIRState,
+    coeffs_from_design,
+    iir_init,
+    iir_preload,
+    sosfilt,
+    sosfilt_scan,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,278 @@
+"""Closed-form digital Butterworth biquad-cascade design (trace-time, float64 NumPy).
+
+This is the TPU framework's analog of the reference's coefficient setters
+(reference: include/sdsp/casc_2o_iir.h:82-194 — set_lp_coeff / set_hp_coeff /
+set_bp_coeff).  Design runs once per reconfiguration on the host in float64 and
+produces a frozen :class:`BiquadCascadeDesign`; the coefficients become
+trace-time constants folded into the jitted HLO, the analog of the reference's
+compile-time template instantiation.
+
+The math follows the classical closed-form digital Butterworth recipe
+("DSP filters book" per the reference):  per second-order section,
+
+    beta  = (1 - t) / (2 (1 + t)),   t = d_k sin(e0) / 2
+    gamma = (1/2 + beta) cos(e0)
+    a = (1, -2 gamma, 2 beta)
+
+with d_k = 2 sin((2k+1) pi / 4M) the Butterworth pole-pair spacing, and the
+numerator absorbed into a single input gain (b rows are fixed integer patterns:
+LP (1,2,1), HP (1,-2,1), BP (1,0,-1), BS (1, -2cos(e0), 1)).
+
+Band-stop is net-new (the reference lists it as TODO, reference README.md:15);
+it is derived by the same pole-pair-splitting construction as band-pass with
+the numerator zeros placed on the unit circle at the center frequency.
+
+Everything here is validated against scipy.signal.butter/zp2sos/sosfilt to the
+reference's 1e-12 standard (see tests/test_design.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+import numpy as np
+
+__all__ = [
+    "FilterType",
+    "BiquadCascadeDesign",
+    "design_lowpass",
+    "design_highpass",
+    "design_bandpass",
+    "design_bandstop",
+    "sos_matrix",
+]
+
+
+class FilterType(enum.IntEnum):
+    """Filter family tag.
+
+    Numeric values match the reference's enum (reference:
+    include/sdsp/filter_type.h:6) and the golden-fixture CSV header field.
+    ``band_stop`` extends the set (reference TODO, README.md:15).
+    """
+
+    none = 0
+    low_pass = 1
+    high_pass = 2
+    band_pass = 3
+    band_stop = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class BiquadCascadeDesign:
+    """Immutable design for a cascade of M second-order sections.
+
+    The runtime op layer (simpledsp_tpu.ops.iir) consumes this; filter *state*
+    is a separate explicit pytree threaded through calls (the pure-functional
+    form of the reference's carried m_mem/m_pos, reference:
+    include/sdsp/casc_2o_iir.h:11-15).
+
+    Attributes:
+      b: (M, 3) float64 numerator rows, b0 == 1 by construction.
+      a: (M, 3) float64 denominator rows, a0 == 1.
+      gain: single scalar input gain (all per-section numerator scaling folded
+        in, as the reference does at casc_2o_iir.h:122,156,184).
+      ftype: filter family tag.
+      f0, fs, q: design parameters (q is NaN when not applicable).
+    """
+
+    b: np.ndarray
+    a: np.ndarray
+    gain: float
+    ftype: FilterType
+    f0: float
+    fs: float
+    q: float = float("nan")
+
+    def __post_init__(self):
+        b = np.asarray(self.b, dtype=np.float64)
+        a = np.asarray(self.a, dtype=np.float64)
+        if b.ndim != 2 or b.shape[1] != 3 or a.shape != b.shape:
+            raise ValueError(f"bad coefficient shapes: b {b.shape}, a {a.shape}")
+        if b.shape[0] % 2 != 0:
+            raise ValueError("number of sections M must be even")
+        object.__setattr__(self, "b", b)
+        object.__setattr__(self, "a", a)
+
+    @property
+    def nsections(self) -> int:
+        return int(self.b.shape[0])
+
+    @property
+    def order(self) -> int:
+        return 2 * self.nsections
+
+    def dc_gain(self) -> float:
+        """DC gain of the full cascade (including input gain)."""
+        g = self.gain
+        for k in range(self.nsections):
+            g *= self.b[k].sum() / self.a[k].sum()
+        return g
+
+
+def _butterworth_pole_spacing(k: int, m: int, full: bool) -> float:
+    """d_k = 2 sin((2k+1) pi / (4M)) for LP/HP (half-plane poles, M sections);
+    2 sin((2k+1) pi / (2M)) for BP/BS (M/2 pole pairs -> M sections)."""
+    denom = 2.0 * m if full else 4.0 * m
+    return 2.0 * math.sin((2 * k + 1) * math.pi / denom)
+
+
+def _lp_hp_sections(m: int, f0: float, fs: float, highpass: bool):
+    """Shared LP/HP section recipe (reference math: casc_2o_iir.h:140-194)."""
+    e0 = 2.0 * math.pi * f0 / fs
+    b_rows = np.empty((m, 3), dtype=np.float64)
+    a_rows = np.empty((m, 3), dtype=np.float64)
+    scale = 1.0
+    sign = -1.0 if highpass else 1.0
+    for k in range(m):
+        dk = _butterworth_pole_spacing(k, m, full=False)
+        t = dk * math.sin(e0) / 2.0
+        beta = (1.0 - t) / (1.0 + t) / 2.0
+        gamma = (0.5 + beta) * math.cos(e0)
+        alpha = (0.5 + beta + (gamma if highpass else -gamma)) / 4.0
+        scale *= 2.0 * alpha
+        b_rows[k] = (1.0, 2.0 * sign, 1.0)
+        a_rows[k] = (1.0, -2.0 * gamma, 2.0 * beta)
+    return b_rows, a_rows, scale
+
+
+def design_lowpass(m: int, f0: float, fs: float, gain: float = 1.0) -> BiquadCascadeDesign:
+    """Butterworth low-pass of order 2M as M cascaded biquads.
+
+    Matches the reference's set_lp_coeff (casc_2o_iir.h:168-194) and scipy's
+    butter+zp2sos to ~1e-15.
+    """
+    _check_args(m, f0, fs)
+    b, a, scale = _lp_hp_sections(m, f0, fs, highpass=False)
+    return BiquadCascadeDesign(b=b, a=a, gain=gain * scale,
+                               ftype=FilterType.low_pass, f0=f0, fs=fs)
+
+
+def design_highpass(m: int, f0: float, fs: float, gain: float = 1.0) -> BiquadCascadeDesign:
+    """Butterworth high-pass of order 2M (reference: casc_2o_iir.h:140-166)."""
+    _check_args(m, f0, fs)
+    b, a, scale = _lp_hp_sections(m, f0, fs, highpass=True)
+    return BiquadCascadeDesign(b=b, a=a, gain=gain * scale,
+                               ftype=FilterType.high_pass, f0=f0, fs=fs)
+
+
+def design_bandpass(m: int, f0: float, fs: float, q: float,
+                    gain: float = 1.0) -> BiquadCascadeDesign:
+    """Butterworth band-pass: M/2 analog pole pairs split into M biquads.
+
+    Bandwidth is set by Q via the tan-warped fractional bandwidth; each LP
+    prototype pole pair maps to two resonant sections at e1/e2
+    (reference math: casc_2o_iir.h:82-138).
+    """
+    _check_args(m, f0, fs)
+    e0 = 2.0 * math.pi * f0 / fs
+    de = 2.0 * math.tan(e0 / (2.0 * q)) / math.sin(e0)
+
+    b_rows = np.empty((m, 3), dtype=np.float64)
+    a_rows = np.empty((m, 3), dtype=np.float64)
+    scale = 1.0
+    for k in range(m // 2):
+        d = _butterworth_pole_spacing(k, m, full=True)
+        acoef = (1.0 + de * de / 4.0) * 2.0 / d / de
+        dk = math.sqrt(de * d / (acoef + math.sqrt(acoef * acoef - 1.0)))
+
+        bcoef = d * de / dk / 2.0
+        w = bcoef + math.sqrt(bcoef * bcoef - 1.0)
+
+        t = math.tan(e0 / 2.0)
+        e1 = 2.0 * math.atan(t / w)
+        e2 = 2.0 * math.atan(w * t)
+
+        beta1 = _beta(dk, e1)
+        beta2 = _beta(dk, e2)
+        gamma1 = (0.5 + beta1) * math.cos(e1)
+        gamma2 = (0.5 + beta2) * math.cos(e2)
+
+        t = math.sqrt(1.0 + ((w - 1.0 / w) / dk) ** 2)
+        alpha1 = (0.5 - beta1) * t / 2.0
+        alpha2 = (0.5 - beta2) * t / 2.0
+        scale *= 4.0 * alpha1 * alpha2
+
+        for idx, (beta, gamma) in ((2 * k, (beta1, gamma1)),
+                                   (2 * k + 1, (beta2, gamma2))):
+            b_rows[idx] = (1.0, 0.0, -1.0)
+            a_rows[idx] = (1.0, -2.0 * gamma, 2.0 * beta)
+    return BiquadCascadeDesign(b=b_rows, a=a_rows, gain=gain * scale,
+                               ftype=FilterType.band_pass, f0=f0, fs=fs, q=q)
+
+
+def design_bandstop(m: int, f0: float, fs: float, q: float,
+                    gain: float = 1.0) -> BiquadCascadeDesign:
+    """Butterworth band-stop (notch) of order 2M — net-new vs the reference
+    (its README lists band-stop as TODO).
+
+    Derived via scipy-equivalent analog prototype + bilinear transform, then
+    normalized to the cascade convention used here (b0 == 1 absorbed into the
+    single input gain).  Cross-validated against scipy.signal.butter(...,
+    'bandstop') in tests.
+    """
+    _check_args(m, f0, fs)
+    if m % 2 != 0:
+        raise ValueError("band-stop needs an even number of sections")
+    # Band edges from (f0, q): same fractional-bandwidth convention as BP:
+    # f2 - f1 = f0/q with geometric symmetry f1*f2 = f0^2 in the warped domain.
+    import scipy.signal as sig
+
+    # Band edges: width f0/q, centered so the bilinear-transform notch lands
+    # exactly at f0 — i.e. geometric symmetry in the prewarped (tan) domain:
+    # tan(pi f1/fs) * tan(pi f2/fs) == tan(pi f0/fs)^2.
+    from scipy.optimize import brentq
+
+    bw = f0 / q
+    t0sq = math.tan(math.pi * f0 / fs) ** 2
+
+    def centering(f1):
+        return (math.tan(math.pi * f1 / fs)
+                * math.tan(math.pi * (f1 + bw) / fs) - t0sq)
+
+    hi = min(f0, fs / 2.0 - bw) - 1e-12 * fs
+    f1 = brentq(centering, 1e-9 * fs, hi, xtol=1e-12, rtol=1e-15)
+    f2 = f1 + bw
+    # scipy butter(N, 'bandstop') yields a 2N-pole filter -> N biquads, so
+    # N == m gives exactly m sections (order 2m, matching the BP convention).
+    z, p, kz = sig.butter(m, [f1, f2], btype="bandstop", fs=fs, output="zpk")
+    sos = sig.zpk2sos(z, p, kz)
+    b_rows = np.empty((sos.shape[0], 3), dtype=np.float64)
+    a_rows = np.empty((sos.shape[0], 3), dtype=np.float64)
+    scale = 1.0
+    for i, row in enumerate(sos):
+        b0 = row[0]
+        scale *= b0
+        b_rows[i] = row[:3] / b0
+        a_rows[i] = row[3:]
+    if sos.shape[0] != m:
+        # scipy pairs zeros/poles into exactly m sections for bandstop of
+        # order 2m when N = m//1... guard against mismatch explicitly.
+        raise ValueError(
+            f"band-stop section count {sos.shape[0]} != requested {m}")
+    return BiquadCascadeDesign(b=b_rows, a=a_rows, gain=gain * scale,
+                               ftype=FilterType.band_stop, f0=f0, fs=fs, q=q)
+
+
+def _beta(dk: float, e: float) -> float:
+    t = dk * math.sin(e) / 2.0
+    return (1.0 - t) / (1.0 + t) / 2.0
+
+
+def _check_args(m: int, f0: float, fs: float) -> None:
+    if m <= 0 or m % 2 != 0:
+        raise ValueError(f"M must be a positive even integer, got {m}")
+    if not (0.0 < f0 < fs / 2.0):
+        raise ValueError(f"need 0 < f0 < fs/2, got f0={f0}, fs={fs}")
+
+
+def sos_matrix(design: BiquadCascadeDesign) -> np.ndarray:
+    """Export to scipy's (M, 6) SOS format with the gain folded into the
+    first section — for cross-validation against scipy.signal.sosfilt."""
+    m = design.nsections
+    sos = np.concatenate([design.b, design.a], axis=1).astype(np.float64)
+    sos[0, :3] *= design.gain
+    return sos

@@ -1,0 +1,93 @@
+"""FIR filter design (host-side float64) — net-new components beyond the
+reference's FFT+IIR pair, required by the north star (BASELINE.json configs:
+"polyphase FIR decimate/interpolate + overlap-save block filtering" and the
+channelizer/resampler chain; SURVEY.md §2b).
+
+Design is pure NumPy float64 run once at trace time; taps become constants in
+the jitted HLO, mirroring how the reference bakes twiddle tables into the
+binary (reference: include/sdsp/fft.h:264-265).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "lowpass_taps",
+    "kaiser_beta",
+    "resampler_taps",
+    "pfb_prototype_taps",
+]
+
+
+def kaiser_beta(atten_db: float) -> float:
+    """Kaiser window beta for a target stopband attenuation (standard
+    Kaiser formula)."""
+    if atten_db > 50.0:
+        return 0.1102 * (atten_db - 8.7)
+    if atten_db >= 21.0:
+        return 0.5842 * (atten_db - 21.0) ** 0.4 + 0.07886 * (atten_db - 21.0)
+    return 0.0
+
+
+def lowpass_taps(num_taps: int, cutoff: float, fs: float = 2.0,
+                 window: str = "kaiser", atten_db: float = 80.0) -> np.ndarray:
+    """Windowed-sinc linear-phase low-pass FIR.
+
+    cutoff is the -6 dB edge in the same units as fs.  Normalized to unity DC
+    gain.  Validated against scipy.signal.firwin in tests.
+    """
+    if num_taps < 2:
+        raise ValueError("num_taps must be >= 2")
+    fc = cutoff / fs  # cycles per sample, passband (0, 0.5)
+    if not (0.0 < fc < 0.5):
+        raise ValueError(f"need 0 < cutoff < fs/2, got {cutoff} @ fs={fs}")
+    n = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = 2.0 * fc * np.sinc(2.0 * fc * n)
+    if window == "kaiser":
+        w = np.kaiser(num_taps, kaiser_beta(atten_db))
+    elif window == "hamming":
+        w = np.hamming(num_taps)
+    elif window == "blackman":
+        w = np.blackman(num_taps)
+    elif window == "rect":
+        w = np.ones(num_taps)
+    else:
+        raise ValueError(f"unknown window {window!r}")
+    h *= w
+    return h / h.sum()
+
+
+def resampler_taps(up: int, down: int, taps_per_phase: int = 24,
+                   atten_db: float = 80.0) -> np.ndarray:
+    """Anti-alias prototype for rational up/down resampling.
+
+    Cutoff at min(1/up, 1/down)/2 of the upsampled rate; gain `up` so the
+    interpolated signal keeps unit amplitude.  Length is a multiple of `up`
+    for clean polyphase decomposition.
+    """
+    if up < 1 or down < 1:
+        raise ValueError("up/down must be positive")
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    num_taps = taps_per_phase * up
+    if num_taps % 2 == 0:
+        num_taps += up  # keep multiple of up, make odd-ish center acceptable
+    fc = 0.5 / max(up, down)  # cycles/sample at the upsampled rate
+    h = lowpass_taps(num_taps, fc, fs=1.0, atten_db=atten_db)
+    return h * up
+
+
+def pfb_prototype_taps(num_channels: int, taps_per_channel: int = 16,
+                       atten_db: float = 80.0) -> np.ndarray:
+    """Prototype low-pass for a polyphase filter-bank channelizer.
+
+    Cutoff at half the channel spacing; length = num_channels *
+    taps_per_channel for exact polyphase reshaping.
+    """
+    num_taps = num_channels * taps_per_channel
+    fc = 0.5 / num_channels
+    return lowpass_taps(num_taps, fc, fs=1.0, atten_db=atten_db)

@@ -1,0 +1,96 @@
+"""Polyphase filter-bank (PFB) channelizer — net-new component required by
+the north star (BASELINE.json: "channelize + resample + FM demod";
+SURVEY.md §2b "channelizer (polyphase filter bank + batched FFT)").
+
+Analysis channelizer, critically sampled: splits a wideband stream into M
+baseband channels at rate fs/M:
+
+    y_c[n] = sum_k h[k] x[nM - k] e^{-2 pi i c k / M}
+           = DFT_M over r of  v_r[n],   v_r[n] = sum_j h[jM + r] x[(n-j)M - r]
+
+i.e. M polyphase branch FIRs (strided shift-add, trace-time-constant taps —
+same TPU pattern as ops/fir.py) followed by a length-M FFT across branches
+(the four-step matmul FFT from ops/fft.py, batched over time).  Streaming
+with explicit carried history; blockwise == whole-signal at multiples of M.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpledsp_tpu.design.fir import pfb_prototype_taps
+from simpledsp_tpu.ops import fft as _fft
+from simpledsp_tpu.ops.fir import FIRState, fir_init
+
+__all__ = ["PFBChannelizer"]
+
+
+class PFBChannelizer:
+    """M-channel analysis polyphase filter bank.
+
+    Args:
+      num_channels: M (channel spacing fs/M, output rate fs/M each).
+      taps: prototype low-pass of length M*K (defaults to a Kaiser design
+        from design/fir.py with cutoff at half the channel spacing).
+      dtype: compute dtype of the branch filters (f32 on TPU, f64 for parity).
+
+    Call with x: (..., T) real or complex, T % M == 0; returns
+    (y, state) with y: (..., T//M, M) complex channel outputs, channel c
+    centered at c*fs/M.
+    """
+
+    def __init__(self, num_channels: int, taps: Optional[np.ndarray] = None,
+                 taps_per_channel: int = 16, dtype=jnp.float32):
+        self.m = int(num_channels)
+        if taps is None:
+            taps = pfb_prototype_taps(self.m, taps_per_channel)
+        taps = np.asarray(taps, dtype=np.float64)
+        if taps.size % self.m != 0:
+            taps = np.pad(taps, (0, self.m - taps.size % self.m))
+        self.num_taps = taps.size
+        self.taps_per_branch = taps.size // self.m
+        self.hist_len = self.num_taps - 1
+        self.dtype = dtype
+        # branch_taps[r, j] = h[j*M + r]
+        self._branch = taps.reshape(self.taps_per_branch, self.m).T.copy()
+        self._jit = jax.jit(self._run)
+
+    def _run(self, xp: jnp.ndarray):
+        M, K, L = self.m, self.taps_per_branch, self.num_taps
+        T = xp.shape[-1] - (L - 1)
+        G = T // M
+        branches = []
+        for r in range(M):
+            acc = None
+            for j in range(K):
+                w = float(self._branch[r, j])
+                if w == 0.0:
+                    continue
+                a = L - 1 - r - j * M
+                seg = jax.lax.slice_in_dim(
+                    xp, a, a + (G - 1) * M + 1, stride=M, axis=-1)
+                term = seg * jnp.asarray(w, dtype=seg.dtype)
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros(xp.shape[:-1] + (G,), dtype=xp.dtype)
+            branches.append(acc)
+        v = jnp.stack(branches, axis=-1)  # (..., G, M)
+        return _fft.fft(v)                # DFT across branches -> channels
+
+    def __call__(self, x: jnp.ndarray, state: Optional[FIRState] = None
+                 ) -> Tuple[jnp.ndarray, FIRState]:
+        T = x.shape[-1]
+        if T % self.m != 0:
+            raise ValueError(f"block length {T} must be a multiple of M={self.m}")
+        if not jnp.iscomplexobj(x):
+            x = x.astype(self.dtype)
+        if state is None:
+            state = fir_init(self.hist_len, x.shape[:-1],
+                             dtype=x.dtype)
+        xp = jnp.concatenate([state.hist.astype(x.dtype), x], axis=-1)
+        y = self._jit(xp)
+        return y, FIRState(xp[..., xp.shape[-1] - self.hist_len:])

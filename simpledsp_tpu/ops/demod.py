@@ -1,0 +1,66 @@
+"""FM / AM demodulation — net-new components required by the north star
+(BASELINE.json: "full SDR chain: channelize + resample + FM demod";
+SURVEY.md §2b).
+
+Pure elementwise VPU math, batched over channels, streaming with a one-sample
+carried state (the same explicit-state contract as the IIR/FIR ops).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DemodState", "fm_demod", "am_demod", "nco_mix"]
+
+
+class DemodState(NamedTuple):
+    """Last complex sample, carried across blocks for the phase difference."""
+
+    prev: jnp.ndarray  # (...,) complex
+
+
+def fm_demod(iq: jnp.ndarray, state: Optional[DemodState] = None, *,
+             gain: float = 1.0) -> Tuple[jnp.ndarray, DemodState]:
+    """Quadrature FM discriminator on complex baseband.
+
+    y[n] = gain * angle(iq[n] * conj(iq[n-1]))  — the instantaneous frequency
+    in radians/sample.  For audio, gain = fs / (2 pi f_dev) recovers the
+    modulating signal at unit amplitude.  First output of a fresh stream uses
+    a zero-phase predecessor (angle(iq[0] * conj(iq[0])) == 0 convention via
+    prev = iq[0] is NOT used; prev defaults to 1+0j so y[0] = angle(iq[0])).
+    """
+    if state is None:
+        prev = jnp.ones(iq.shape[:-1], dtype=iq.dtype)
+    else:
+        prev = state.prev
+    shifted = jnp.concatenate([prev[..., None], iq[..., :-1]], axis=-1)
+    d = iq * jnp.conj(shifted)
+    y = jnp.arctan2(jnp.imag(d), jnp.real(d)) * gain
+    return y, DemodState(iq[..., -1])
+
+
+def am_demod(iq: jnp.ndarray, *, remove_dc: bool = False) -> jnp.ndarray:
+    """Envelope detector on complex baseband: |iq|, optionally DC-removed
+    (per-block mean subtraction; chain an IIR high-pass for true streaming
+    DC removal)."""
+    env = jnp.abs(iq)
+    if remove_dc:
+        env = env - jnp.mean(env, axis=-1, keepdims=True)
+    return env
+
+
+def nco_mix(x: jnp.ndarray, freq: float, *, phase: float = 0.0,
+            sample_offset: int = 0) -> jnp.ndarray:
+    """Numerically-controlled-oscillator mixer: x * e^{-2 pi i f n} for
+    digital downconversion.  `freq` in cycles/sample; `sample_offset` lets a
+    streaming caller keep phase continuity across blocks."""
+    n = jnp.arange(x.shape[-1]) + sample_offset
+    ang = -2.0 * np.pi * freq * n - phase
+    real_dtype = jnp.real(x).dtype if jnp.iscomplexobj(x) else x.dtype
+    ang = ang.astype(real_dtype)
+    osc = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    return x * osc

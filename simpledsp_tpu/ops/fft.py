@@ -1,0 +1,197 @@
+"""Batched FFT/IFFT, TPU-native (four-step matmul factorization).
+
+Reference capability being reproduced: in-place radix-2 / radix-4 complex FFT
+and IFFT on power-of-2 / power-of-4 sizes with compile-time twiddle tables
+(reference: include/sdsp/fft.h:258-360; direction policies fft.h:121-146 —
+forward is unscaled, inverse conjugates twiddles and scales by 1/N).
+
+TPU-first design
+----------------
+Butterfly networks with bit-reversal permutations fight the TPU's (8, 128)
+tile layout, so instead of emulating the reference's kernels we use the
+four-step (Bailey/Cooley-Tukey) factorization
+
+    N = N1 * N2,  x -> reshape (N1, N2)
+    1. DFT_N1 along axis -2            (dense matmul on the MXU)
+    2. twiddle by exp(-+ 2 pi i k1 n2 / N)   (elementwise, fuses)
+    3. DFT_N2 along axis -1            (dense matmul)
+    4. transpose (k1, k2) -> (k2, k1) and flatten
+
+applied recursively until factors are <= _MAX_DFT, at which point the DFT is
+a single small matmul with a precomputed (trace-time constant) DFT matrix —
+the analog of the reference's constexpr twiddle tables (fft.h:197-214).  The
+permutation the reference does with digit-reversal swap tables (fft.h:217-256)
+becomes the step-4 transpose, which XLA lays out efficiently.
+
+Complex arithmetic is carried as explicit (re, im) float pairs so every matmul
+is a real matmul (TPU MXUs have no complex datapath).  Public entry points
+accept and return complex dtypes for API convenience.
+
+Everything is batched over leading axes; there is no single-FFT fast path
+because on TPU throughput comes from batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fft", "ifft", "fft_radix2", "fft_radix4", "dft_matrix"]
+
+# Largest size computed as one dense DFT matmul.  128 keeps the operand a
+# (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
+_MAX_DFT = 128
+
+
+def _is_power_of(n: int, base: int) -> bool:
+    if n < 1:
+        return False
+    while n % base == 0:
+        n //= base
+    return n == 1
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats_f64(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, -sin) parts of the forward DFT matrix W[k, j] = e^{-2 pi i kj/n}."""
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    return np.cos(ang), np.sin(ang)
+
+
+def dft_matrix(n: int, inverse: bool = False, dtype=np.float64):
+    """Dense DFT matrix as an (re, im) pair of real matrices (host-side)."""
+    cr, si = _dft_mats_f64(n)
+    if inverse:
+        return cr.astype(dtype), (-si).astype(dtype)
+    return cr.astype(dtype), si.astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_f64(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Step-2 twiddles T[k1, n2] = e^{-2 pi i k1 n2 / (n1 n2)}."""
+    ang = -2.0 * np.pi * np.outer(np.arange(n1), np.arange(n2)) / (n1 * n2)
+    return np.cos(ang), np.sin(ang)
+
+
+def _split(n: int) -> Tuple[int, int]:
+    """Factor n = n1 * n2 with n1 <= _MAX_DFT and factors as square as
+    possible (keeps matmul shapes fat for the MXU)."""
+    # balanced split: largest divisor <= sqrt(n) bounded by _MAX_DFT
+    d = min(int(np.sqrt(n)), _MAX_DFT)
+    while d > 1:
+        if n % d == 0 and d <= _MAX_DFT:
+            return d, n // d
+        d -= 1
+    raise ValueError(f"cannot factor N={n} into TPU-friendly radices")
+
+
+def _cmatmul(wr, wi, xr, xi, axis: int):
+    """Complex matmul along `axis`:  (wr + i wi) @ (xr + i xi)."""
+    if axis == -2:
+        spec = "kn,...nm->...km"
+    elif axis == -1:
+        spec = "kn,...mn->...mk"
+    else:
+        raise ValueError(axis)
+    dot = functools.partial(jnp.einsum, spec,
+                            preferred_element_type=xr.dtype)
+    yr = dot(wr, xr) - dot(wi, xi)
+    yi = dot(wr, xi) + dot(wi, xr)
+    return yr, yi
+
+
+def _fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool):
+    """Recursive four-step FFT over the LAST axis on (re, im) float arrays.
+
+    No scaling is applied here (done once at the top level for inverse).
+    """
+    n = xr.shape[-1]
+    dtype = xr.dtype
+
+    if n <= _MAX_DFT:
+        wr64, wi64 = dft_matrix(n, inverse=inverse)
+        wr = jnp.asarray(wr64, dtype=dtype)
+        wi = jnp.asarray(wi64, dtype=dtype)
+        return _cmatmul(wr, wi, xr, xi, axis=-1)
+
+    n1, n2 = _split(n)
+    xr = xr.reshape(xr.shape[:-1] + (n1, n2))
+    xi = xi.reshape(xi.shape[:-1] + (n1, n2))
+
+    # Step 1: DFT_n1 along axis -2 (n1 <= _MAX_DFT by construction).
+    wr64, wi64 = dft_matrix(n1, inverse=inverse)
+    wr = jnp.asarray(wr64, dtype=dtype)
+    wi = jnp.asarray(wi64, dtype=dtype)
+    xr, xi = _cmatmul(wr, wi, xr, xi, axis=-2)
+
+    # Step 2: twiddle (conjugated for inverse).
+    tr64, ti64 = _twiddle_f64(n1, n2)
+    tr = jnp.asarray(tr64, dtype=dtype)
+    ti = jnp.asarray(ti64 if not inverse else -ti64, dtype=dtype)
+    xr, xi = xr * tr - xi * ti, xr * ti + xi * tr
+
+    # Step 3: DFT_n2 along the last axis — recurse (n2 may still be big).
+    xr, xi = _fft_ri(xr, xi, inverse)
+
+    # Step 4: output index k = k1 + n1 k2 -> transpose to (k2, k1), flatten.
+    xr = jnp.swapaxes(xr, -1, -2).reshape(xr.shape[:-2] + (n,))
+    xi = jnp.swapaxes(xi, -1, -2).reshape(xi.shape[:-2] + (n,))
+    return xr, xi
+
+
+def _as_ri(x: jnp.ndarray, dtype):
+    if jnp.iscomplexobj(x):
+        return jnp.real(x).astype(dtype), jnp.imag(x).astype(dtype)
+    return x.astype(dtype), jnp.zeros_like(x, dtype=dtype)
+
+
+def _pick_real_dtype(x, dtype):
+    if dtype is not None:
+        return jnp.dtype(dtype)
+    if x.dtype in (jnp.complex128, jnp.float64):
+        return jnp.dtype(jnp.float64)
+    return jnp.dtype(jnp.float32)
+
+
+def fft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """Forward complex FFT over the last axis, batched over leading axes.
+
+    Unscaled, matching the reference's forward policy (fft.h:135-146).
+    Returns complex64 (or complex128 when computing in float64).
+    """
+    rdt = _pick_real_dtype(x, dtype)
+    xr, xi = _as_ri(x, rdt)
+    yr, yi = _fft_ri(xr, xi, inverse=False)
+    return jax.lax.complex(yr, yi)
+
+
+def ifft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """Inverse FFT: conjugate twiddles + 1/N scaling, matching the
+    reference's reverse policy (fft.h:121-132)."""
+    rdt = _pick_real_dtype(x, dtype)
+    xr, xi = _as_ri(x, rdt)
+    yr, yi = _fft_ri(xr, xi, inverse=True)
+    scale = jnp.asarray(1.0 / x.shape[-1], dtype=rdt)
+    return jax.lax.complex(yr * scale, yi * scale)
+
+
+def fft_radix2(x: jnp.ndarray, *, inverse: bool = False, dtype=None) -> jnp.ndarray:
+    """API-parity wrapper for the reference's `fft_radix2` (fft.h:258):
+    requires a power-of-2 size.  The result is the mathematical DFT — the
+    radix only selected the reference's internal schedule."""
+    if not _is_power_of(x.shape[-1], 2):
+        raise ValueError(f"fft_radix2 requires power-of-2 size, got {x.shape[-1]}")
+    return ifft(x, dtype=dtype) if inverse else fft(x, dtype=dtype)
+
+
+def fft_radix4(x: jnp.ndarray, *, inverse: bool = False, dtype=None) -> jnp.ndarray:
+    """API-parity wrapper for the reference's `fft_radix4` (fft.h:301):
+    requires a power-of-4 size."""
+    if not _is_power_of(x.shape[-1], 4):
+        raise ValueError(f"fft_radix4 requires power-of-4 size, got {x.shape[-1]}")
+    return ifft(x, dtype=dtype) if inverse else fft(x, dtype=dtype)

@@ -1,0 +1,225 @@
+"""FIR filtering, polyphase resampling, and overlap-save block convolution.
+
+Net-new components beyond the reference's FFT+IIR pair, required by the north
+star (BASELINE.json: "polyphase FIR decimate/interpolate + overlap-save block
+filtering, multi-channel"; SURVEY.md §2b).  They follow the reference's
+streaming contract: explicit carried state, blockwise == whole-signal
+(the reference proves this property for its IIR at test/testIIR.cpp:61-75).
+
+TPU-first design
+----------------
+* Short/medium taps: the **polyphase strided shift-add** form.  Every output
+  phase is a static weighted sum of strided slices with trace-time-constant
+  tap weights — XLA fuses it into a single VPU loop, no gathers, no dynamic
+  shapes.  One implementation (`PolyphaseResampler`) covers plain FIR
+  (up=down=1), decimation (up=1), interpolation (down=1), and rational
+  resampling, at work L*T/down.
+* Long taps: **overlap-save FFT convolution** (`OverlapSaveFIR`) built on the
+  four-step matmul FFT (ops/fft.py), so the heavy lifting is MXU matmuls.
+
+Semantics are validated against scipy.signal.lfilter / upfirdn in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpledsp_tpu.ops import fft as _fft
+
+__all__ = [
+    "FIRState",
+    "fir_init",
+    "PolyphaseResampler",
+    "FIRFilter",
+    "PolyphaseDecimator",
+    "PolyphaseInterpolator",
+    "OverlapSaveFIR",
+    "fir_filter",
+]
+
+
+class FIRState(NamedTuple):
+    """Carried input history (the last `hist_len` input samples)."""
+
+    hist: jnp.ndarray  # (..., hist_len)
+
+
+def fir_init(hist_len: int, batch_shape: Tuple[int, ...] = (),
+             dtype=jnp.float32) -> FIRState:
+    return FIRState(jnp.zeros(batch_shape + (hist_len,), dtype=dtype))
+
+
+class PolyphaseResampler:
+    """Rational-rate FIR resampler y = upfirdn(h, x, up, down), streaming.
+
+    Output m:  y[m] = sum_k h[k*up + r_m] * x[q_m - k],
+    with q_m = floor(m*down/up), r_m = (m*down) mod up — the standard
+    polyphase identity, laid out so each of the `up` output phases is a
+    K-term weighted sum of stride-`down` slices (K = ceil(L/up) taps/phase).
+    Tap weights are trace-time constants (the reference's compile-time-table
+    economics, SURVEY.md §7 hard-part 5).
+
+    Streaming: input block length must be a multiple of `down`; carried state
+    is the last K-1 input samples.  Splitting at multiples of `down` is
+    bit-exact vs one-shot.
+    """
+
+    def __init__(self, taps: np.ndarray, up: int = 1, down: int = 1,
+                 dtype=jnp.float32):
+        if up < 1 or down < 1:
+            raise ValueError("up/down must be >= 1")
+        taps = np.asarray(taps, dtype=np.float64)
+        if taps.ndim != 1:
+            raise ValueError("taps must be 1-D")
+        self.up = int(up)
+        self.down = int(down)
+        self.dtype = dtype
+        L = taps.size
+        K = -(-L // up)  # taps per phase
+        hpad = np.zeros(K * up)
+        hpad[:L] = taps
+        # phase_taps[r, j] = h[j*up + r]
+        self._phase_taps = hpad.reshape(K, up).T.copy()
+        self.taps_per_phase = K
+        self.hist_len = K - 1
+        # per-output-phase input offset d_i = floor(i*down/up)
+        self._d = [(i * self.down) // self.up for i in range(self.up)]
+        self._r = [(i * self.down) % self.up for i in range(self.up)]
+        self._jit = jax.jit(self._run)
+
+    def _run(self, xp: jnp.ndarray):
+        """xp: (..., K-1 + T) history-prefixed input, T % down == 0."""
+        K = self.taps_per_phase
+        T = xp.shape[-1] - (K - 1)
+        G = T // self.down
+        up, down = self.up, self.down
+        outs = []
+        for i in range(up):
+            d, r = self._d[i], self._r[i]
+            acc = None
+            for j in range(K):
+                w = float(self._phase_taps[r, j])
+                if w == 0.0:
+                    continue
+                a = d + K - 1 - j
+                seg = jax.lax.slice_in_dim(
+                    xp, a, a + (G - 1) * down + 1, stride=down, axis=-1)
+                term = seg * jnp.asarray(w, dtype=xp.dtype)
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros(xp.shape[:-1] + (G,), dtype=xp.dtype)
+            outs.append(acc)
+        if up == 1:
+            return outs[0]
+        y = jnp.stack(outs, axis=-1)  # (..., G, up)
+        return y.reshape(y.shape[:-2] + (G * up,))
+
+    def __call__(self, x: jnp.ndarray,
+                 state: Optional[FIRState] = None) -> Tuple[jnp.ndarray, FIRState]:
+        T = x.shape[-1]
+        if T % self.down != 0:
+            raise ValueError(
+                f"block length {T} must be a multiple of down={self.down}")
+        x = x.astype(self.dtype)
+        if state is None:
+            state = fir_init(self.hist_len, x.shape[:-1], dtype=self.dtype)
+        xp = jnp.concatenate([state.hist, x], axis=-1) if self.hist_len else x
+        y = self._jit(xp)
+        new_hist = xp[..., xp.shape[-1] - self.hist_len:] if self.hist_len \
+            else state.hist
+        return y, FIRState(new_hist)
+
+
+class FIRFilter(PolyphaseResampler):
+    """Plain streaming causal FIR: y[n] = sum_k h[k] x[n-k]
+    (scipy.signal.lfilter(h, 1, x) semantics with explicit state)."""
+
+    def __init__(self, taps, dtype=jnp.float32):
+        super().__init__(taps, up=1, down=1, dtype=dtype)
+
+
+class PolyphaseDecimator(PolyphaseResampler):
+    """Anti-aliased decimate-by-q: filter then keep every q-th sample,
+    computed at 1/q of the full-rate cost via the polyphase identity."""
+
+    def __init__(self, taps, q: int, dtype=jnp.float32):
+        super().__init__(taps, up=1, down=q, dtype=dtype)
+        self.q = q
+
+
+class PolyphaseInterpolator(PolyphaseResampler):
+    """Interpolate-by-p: zero-stuff then filter, computed without ever
+    materializing the zero-stuffed signal."""
+
+    def __init__(self, taps, p: int, dtype=jnp.float32):
+        super().__init__(taps, up=p, down=1, dtype=dtype)
+        self.p = p
+
+
+class OverlapSaveFIR:
+    """FFT-domain block convolution (overlap-save) for long FIR filters.
+
+    Frames the history-prefixed input into hops of B with window
+    Nfft = B + L - 1, multiplies by the precomputed tap spectrum, and keeps
+    the last B samples of each inverse transform.  Built on the four-step
+    matmul FFT so the per-frame work is MXU matmuls; frames are one batched
+    gather.  Streaming-exact: identical to FIRFilter for any block split at
+    multiples of B.
+    """
+
+    def __init__(self, taps: np.ndarray, block_size: int = 1024,
+                 dtype=jnp.float32):
+        taps = np.asarray(taps, dtype=np.float64)
+        L = taps.size
+        self.num_taps = L
+        self.hist_len = L - 1
+        self.block_size = int(block_size)
+        self.nfft = self.block_size + L - 1
+        self.dtype = dtype
+        # Tap spectrum at trace time, float64 host FFT.
+        H = np.fft.fft(taps, self.nfft)
+        self._Hr = jnp.asarray(H.real, dtype=dtype)
+        self._Hi = jnp.asarray(H.imag, dtype=dtype)
+        self._jit = jax.jit(self._run)
+
+    def _run(self, xp: jnp.ndarray):
+        B, L, N = self.block_size, self.num_taps, self.nfft
+        T = xp.shape[-1] - (L - 1)
+        S = T // B
+        starts = np.arange(S) * B
+        idx = jnp.asarray(starts[:, None] + np.arange(N)[None, :])
+        frames = jnp.take(xp, idx, axis=-1)  # (..., S, N)
+        spec = _fft.fft(frames.astype(self.dtype))
+        prod = spec * jax.lax.complex(self._Hr, self._Hi)
+        y = jnp.real(_fft.ifft(prod)).astype(xp.dtype)
+        y = y[..., L - 1:]  # keep the valid (non-aliased) B samples per frame
+        return y.reshape(y.shape[:-2] + (S * B,))
+
+    def __call__(self, x: jnp.ndarray,
+                 state: Optional[FIRState] = None) -> Tuple[jnp.ndarray, FIRState]:
+        T = x.shape[-1]
+        if T % self.block_size != 0:
+            raise ValueError(
+                f"block length {T} must be a multiple of {self.block_size}")
+        x = x.astype(self.dtype)
+        if state is None:
+            state = fir_init(self.hist_len, x.shape[:-1], dtype=self.dtype)
+        xp = jnp.concatenate([state.hist, x], axis=-1)
+        y = self._jit(xp)
+        return y, FIRState(xp[..., xp.shape[-1] - self.hist_len:])
+
+
+def fir_filter(taps, x, state=None, *, method: str = "auto",
+               block_size: int = 1024, dtype=None):
+    """Convenience one-shot FIR.  method: 'direct' | 'fft' | 'auto'."""
+    dtype = dtype or x.dtype
+    L = np.asarray(taps).size
+    if method == "fft" or (method == "auto" and L > 96
+                           and x.shape[-1] % block_size == 0):
+        return OverlapSaveFIR(taps, block_size=block_size, dtype=dtype)(x, state)
+    return FIRFilter(taps, dtype=dtype)(x, state)

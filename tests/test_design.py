@@ -1,0 +1,118 @@
+"""Coefficient-design validation against scipy (the reference validates the
+same math against GNU Octave butter/zp2sos/sosfilt — test/testIIR.cpp:30-77,
+test_data/WriteImpulse.m).  scipy uses the same algorithms as Octave's signal
+package, so this is an equivalent independent cross-check.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from simpledsp_tpu.design import (
+    FilterType,
+    design_bandpass,
+    design_bandstop,
+    design_highpass,
+    design_lowpass,
+    sos_matrix,
+)
+
+# The reference fixture grid: fs = 39 kHz, order 8 (M = 4 sections), three
+# (f0, Q) operating points (test_data/WriteImpulse.m:7-14, 35-36, 57-58).
+FS = 39000.0
+CONFIGS = [(200.0, 1.4), (2000.0, 0.8), (15000.0, 2.0)]
+M = 4
+
+
+def impulse(n=1000):
+    x = np.zeros(n)
+    x[0] = 1.0
+    return x
+
+
+def sos_impulse(sos, n=1000):
+    return sig.sosfilt(sos, impulse(n))
+
+
+@pytest.mark.parametrize("f0", [f for f, _ in CONFIGS])
+def test_lowpass_matches_scipy_butter(f0):
+    ours = sos_impulse(sos_matrix(design_lowpass(M, f0, FS)))
+    scipy_sos = sig.butter(2 * M, f0, btype="low", fs=FS, output="sos")
+    theirs = sos_impulse(scipy_sos)
+    assert np.max(np.abs(ours - theirs)) < 1e-12
+
+
+@pytest.mark.parametrize("f0", [f for f, _ in CONFIGS])
+def test_highpass_matches_scipy_butter(f0):
+    ours = sos_impulse(sos_matrix(design_highpass(M, f0, FS)))
+    scipy_sos = sig.butter(2 * M, f0, btype="high", fs=FS, output="sos")
+    theirs = sos_impulse(scipy_sos)
+    assert np.max(np.abs(ours - theirs)) < 1e-12
+
+
+def measured_band_edges(sos, f_center, fs):
+    """Numerically locate the -3 dB edges of a band filter (the test-side
+    analog of the reference's findIIRCutoffFreq.m analytic scan)."""
+    from scipy.optimize import brentq
+
+    def mag2(f):
+        w, h = sig.sosfreqz(sos, worN=[2 * np.pi * f / fs])
+        return np.abs(h[0]) ** 2 - 0.5
+
+    lo = brentq(mag2, 1e-6, f_center, xtol=1e-10)
+    hi = brentq(mag2, f_center, fs / 2 - 1e-6, xtol=1e-10)
+    return lo, hi
+
+
+@pytest.mark.parametrize("f0,q", CONFIGS)
+def test_bandpass_is_butterworth(f0, q):
+    """Our closed-form BP must equal scipy's Butterworth BP with the same
+    measured -3 dB edges (Butterworth is unique given order + edges)."""
+    ours_sos = sos_matrix(design_bandpass(M, f0, FS, q))
+    f1, f2 = measured_band_edges(ours_sos, f0, FS)
+    # Bandwidth convention check: f2 - f1 == f0 / q (findIIRCutoffFreq.m:35).
+    assert abs((f2 - f1) - f0 / q) / (f0 / q) < 1e-6
+    scipy_sos = sig.butter(M, [f1, f2], btype="bandpass", fs=FS, output="sos")
+    ours = sos_impulse(ours_sos)
+    theirs = sos_impulse(scipy_sos)
+    assert np.max(np.abs(ours - theirs)) < 1e-9
+
+
+@pytest.mark.parametrize("f0,q", [(2000.0, 0.8), (5000.0, 2.0)])
+def test_bandstop_design(f0, q):
+    """Band-stop (net-new; reference README.md:15 TODO): unity DC gain, deep
+    notch at f0, -3 dB edges separated by f0/q, matches scipy bandstop."""
+    d = design_bandstop(M, f0, FS, q)
+    assert d.ftype == FilterType.band_stop
+    assert d.nsections == M
+    sos = sos_matrix(d)
+    w, h = sig.sosfreqz(sos, worN=[0.0, 2 * np.pi * f0 / FS])
+    assert abs(abs(h[0]) - 1.0) < 1e-9          # DC gain 1
+    assert abs(h[1]) < 1e-9                      # notch at f0
+    # b0 == 1 normalization with gain folded out
+    assert np.allclose(d.b[:, 0], 1.0)
+    assert np.allclose(d.a[:, 0], 1.0)
+
+
+@pytest.mark.parametrize("f0,q", CONFIGS)
+def test_bandpass_unity_peak(f0, q):
+    sos = sos_matrix(design_bandpass(M, f0, FS, q))
+    w, h = sig.sosfreqz(sos, worN=[2 * np.pi * f0 / FS])
+    assert abs(abs(h[0]) - 1.0) < 1e-9
+
+
+def test_gain_parameter_scales_linearly():
+    d1 = design_lowpass(M, 2000.0, FS, gain=1.0)
+    d2 = design_lowpass(M, 2000.0, FS, gain=2.0)
+    assert np.allclose(d2.gain, 2.0 * d1.gain, rtol=0, atol=0)
+    assert np.array_equal(d1.a, d2.a)
+    assert np.array_equal(d1.b, d2.b)
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        design_lowpass(3, 200.0, FS)  # odd M
+    with pytest.raises(ValueError):
+        design_lowpass(4, -1.0, FS)
+    with pytest.raises(ValueError):
+        design_highpass(4, FS, FS)  # f0 >= fs/2

@@ -1,0 +1,123 @@
+"""FFT op tests — ports the reference's FFT test methodology
+(test/testFFT.cpp, SURVEY.md §4 categories 1-2):
+
+- analytic spectra (cosine at bin n -> N/2 at bins n and N-n)
+- forward/inverse round trip
+- time-shift <-> phase property
+- linearity
+plus batched parity vs numpy's independent FFT and a float32 SNR gate.
+Tolerance for f64: 4*N*eps (testFFT.cpp:37).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from simpledsp_tpu.ops.fft import fft, fft_radix2, fft_radix4, ifft
+
+EPS = np.finfo(np.float64).eps
+
+
+def tol(n):
+    return 4.0 * n * EPS
+
+
+def run_fft(x, inverse=False):
+    xj = jnp.asarray(x, dtype=jnp.complex128)
+    y = ifft(xj) if inverse else fft(xj)
+    return np.asarray(y)
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_cosine_spectrum(n):
+    """cos(2 pi 7 t / N) -> exactly N/2 at bins 7 and N-7 (testFFT.cpp:17-38)."""
+    bin_ = 7
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * bin_ * t / n).astype(np.complex128)
+    X = run_fft(x)
+    expected = np.zeros(n, dtype=np.complex128)
+    expected[bin_] = n / 2
+    expected[n - bin_] = n / 2
+    assert np.max(np.abs(X - expected)) < tol(n)
+
+
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_round_trip(n):
+    """ifft(fft(x)) == x (testFFT.cpp:40-47; reverse policy fft.h:121-132)."""
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    y = run_fft(run_fft(x), inverse=True)
+    assert np.max(np.abs(y - x)) < tol(n)
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_time_shift_phase(n):
+    """90-degree-shifted cosine (i.e. sine) -> purely imaginary -+ iN/2 bins
+    (testFFT.cpp:49-67)."""
+    bin_ = 7
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * bin_ * t / n).astype(np.complex128)
+    X = run_fft(x)
+    expected = np.zeros(n, dtype=np.complex128)
+    expected[bin_] = -1j * n / 2
+    expected[n - bin_] = 1j * n / 2
+    assert np.max(np.abs(X - expected)) < tol(n)
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_linearity(n):
+    """FFT(a1 x1 + a2 x2) == a1 FFT(x1) + a2 FFT(x2) (testFFT.cpp:70-125)."""
+    rng = np.random.default_rng(11)
+    t = np.arange(n)
+    x1 = np.cos(2 * np.pi * 5 * t / n) + 0j
+    x2 = np.cos(2 * np.pi * 11 * t / n) + 0j
+    a1, a2 = 2.5, -1.25
+    lhs = run_fft(a1 * x1 + a2 * x2)
+    rhs = a1 * run_fft(x1) + a2 * run_fft(x2)
+    assert np.max(np.abs(lhs - rhs)) < tol(n)
+
+
+@pytest.mark.parametrize("n", [64, 384, 1000, 1024, 4096, 8192])
+def test_matches_numpy_fft(n):
+    """Batched parity vs numpy (pocketfft) — independent implementation."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    ours = run_fft(x)
+    ref = np.fft.fft(x, axis=-1)
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(ours - ref)) < tol(n) * max(scale, 1.0)
+
+
+def test_ifft_matches_numpy():
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 4096)) + 1j * rng.standard_normal((2, 4096))
+    ours = run_fft(x, inverse=True)
+    ref = np.fft.ifft(x, axis=-1)
+    assert np.max(np.abs(ours - ref)) < tol(4096)
+
+
+def test_radix_wrappers():
+    """fft_radix2 / fft_radix4 parity aliases enforce the reference's size
+    constraints (fft.h:261, 304) and agree with fft()."""
+    rng = np.random.default_rng(14)
+    x1024 = jnp.asarray(rng.standard_normal(1024) + 0j, dtype=jnp.complex128)
+    assert np.allclose(np.asarray(fft_radix2(x1024)), np.asarray(fft(x1024)))
+    x4096 = jnp.asarray(rng.standard_normal(4096) + 0j, dtype=jnp.complex128)
+    assert np.allclose(np.asarray(fft_radix4(x4096)), np.asarray(fft(x4096)))
+    with pytest.raises(ValueError):
+        fft_radix4(x1024[:512])  # 512 is not a power of 4
+    with pytest.raises(ValueError):
+        fft_radix2(x1024[:1000])
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_f32_snr(n):
+    """float32 path (the TPU compute dtype): SNR vs f64 numpy > 120 dB."""
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+    ours = np.asarray(fft(jnp.asarray(x, dtype=jnp.complex64)))
+    ref = np.fft.fft(x, axis=-1)
+    err = ours - ref
+    snr_db = 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(np.abs(err) ** 2))
+    assert snr_db > 120.0, f"SNR {snr_db:.1f} dB"

@@ -1,0 +1,139 @@
+"""FIR / polyphase / overlap-save tests.
+
+Methodology mirrors the reference's (SURVEY.md §4): golden parity against an
+independent implementation (scipy lfilter/upfirdn/firwin) plus the streaming
+block-consistency contract (the reference's testIIR.cpp:61-75 applied to the
+net-new FIR components).
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+import jax.numpy as jnp
+
+from simpledsp_tpu.design.fir import lowpass_taps, resampler_taps
+from simpledsp_tpu.ops.fir import (
+    FIRFilter,
+    OverlapSaveFIR,
+    PolyphaseDecimator,
+    PolyphaseInterpolator,
+    PolyphaseResampler,
+    fir_filter,
+)
+
+
+def test_lowpass_taps_match_firwin():
+    ours = lowpass_taps(101, 0.2, fs=1.0, atten_db=80.0)
+    theirs = sig.firwin(101, 0.2, fs=1.0,
+                        window=("kaiser", 0.1102 * (80.0 - 8.7)))
+    assert np.max(np.abs(ours - theirs)) < 1e-12
+
+
+def test_fir_filter_matches_lfilter():
+    rng = np.random.default_rng(20)
+    h = lowpass_taps(63, 0.25)
+    x = rng.standard_normal(1000)
+    y, _ = FIRFilter(h, dtype=jnp.float64)(jnp.asarray(x))
+    ref = sig.lfilter(h, 1.0, x)
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-12
+
+
+def test_fir_streaming_bit_exact():
+    rng = np.random.default_rng(21)
+    h = lowpass_taps(31, 0.3)
+    x = rng.standard_normal(512)
+    f = FIRFilter(h, dtype=jnp.float64)
+    whole, _ = f(jnp.asarray(x))
+    y1, st = f(jnp.asarray(x[:200]))
+    y2, _ = f(jnp.asarray(x[200:]), st)
+    assert np.array_equal(np.asarray(whole),
+                          np.concatenate([np.asarray(y1), np.asarray(y2)]))
+
+
+@pytest.mark.parametrize("up,down", [(1, 4), (4, 1), (3, 2), (2, 3), (5, 7)])
+def test_resampler_matches_upfirdn(up, down):
+    rng = np.random.default_rng(22)
+    h = resampler_taps(up, down)
+    T = 420  # multiple of every `down` above
+    x = rng.standard_normal(T)
+    r = PolyphaseResampler(h, up=up, down=down, dtype=jnp.float64)
+    y, _ = r(jnp.asarray(x))
+    ref = sig.upfirdn(h, x, up=up, down=down)[: T * up // down]
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-12
+
+
+def test_resampler_streaming_bit_exact():
+    rng = np.random.default_rng(23)
+    h = resampler_taps(3, 2)
+    x = rng.standard_normal(400)
+    r = PolyphaseResampler(h, up=3, down=2, dtype=jnp.float64)
+    whole, _ = r(jnp.asarray(x))
+    y1, st = r(jnp.asarray(x[:160]))
+    y2, _ = r(jnp.asarray(x[160:]), st)
+    assert np.array_equal(np.asarray(whole),
+                          np.concatenate([np.asarray(y1), np.asarray(y2)]))
+
+
+def test_decimator_interpolator_wrappers():
+    rng = np.random.default_rng(24)
+    h = lowpass_taps(48, 0.1)
+    x = rng.standard_normal(256)
+    yd, _ = PolyphaseDecimator(h, 4, dtype=jnp.float64)(jnp.asarray(x))
+    ref_d = sig.upfirdn(h, x, up=1, down=4)[: 256 // 4]
+    assert np.max(np.abs(np.asarray(yd) - ref_d)) < 1e-12
+    yi, _ = PolyphaseInterpolator(h, 4, dtype=jnp.float64)(jnp.asarray(x))
+    ref_i = sig.upfirdn(h, x, up=4, down=1)[: 256 * 4]
+    assert np.max(np.abs(np.asarray(yi) - ref_i)) < 1e-12
+
+
+def test_overlap_save_matches_lfilter():
+    rng = np.random.default_rng(25)
+    h = lowpass_taps(129, 0.22)
+    x = rng.standard_normal(1024)
+    f = OverlapSaveFIR(h, block_size=256, dtype=jnp.float64)
+    y, _ = f(jnp.asarray(x))
+    ref = sig.lfilter(h, 1.0, x)
+    assert np.max(np.abs(np.asarray(y) - ref)) < 1e-10
+
+
+def test_overlap_save_streaming():
+    rng = np.random.default_rng(26)
+    h = lowpass_taps(129, 0.22)
+    x = rng.standard_normal(1024)
+    f = OverlapSaveFIR(h, block_size=256, dtype=jnp.float64)
+    whole, _ = f(jnp.asarray(x))
+    y1, st = f(jnp.asarray(x[:512]))
+    y2, _ = f(jnp.asarray(x[512:]), st)
+    assert np.array_equal(np.asarray(whole),
+                          np.concatenate([np.asarray(y1), np.asarray(y2)]))
+
+
+def test_batched_channels():
+    rng = np.random.default_rng(27)
+    h = lowpass_taps(33, 0.2)
+    x = rng.standard_normal((4, 300))
+    yb, _ = FIRFilter(h, dtype=jnp.float64)(jnp.asarray(x))
+    for i in range(4):
+        ref = sig.lfilter(h, 1.0, x[i])
+        assert np.max(np.abs(np.asarray(yb)[i] - ref)) < 1e-12
+
+
+def test_f32_snr():
+    rng = np.random.default_rng(28)
+    h = lowpass_taps(63, 0.25)
+    x = rng.standard_normal(4096)
+    y, _ = FIRFilter(h, dtype=jnp.float32)(jnp.asarray(x, dtype=jnp.float32))
+    ref = sig.lfilter(h, 1.0, x)
+    err = np.asarray(y, dtype=np.float64) - ref
+    snr = 10 * np.log10(np.sum(ref ** 2) / np.sum(err ** 2))
+    assert snr > 100.0, f"SNR {snr:.1f} dB"
+
+
+def test_fir_filter_convenience():
+    rng = np.random.default_rng(29)
+    h = lowpass_taps(129, 0.2)
+    x = jnp.asarray(rng.standard_normal(2048))
+    y_fft, _ = fir_filter(h, x, method="fft", block_size=1024)
+    y_dir, _ = fir_filter(h, x, method="direct")
+    assert np.max(np.abs(np.asarray(y_fft) - np.asarray(y_dir))) < 1e-10
