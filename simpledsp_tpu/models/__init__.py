@@ -1,0 +1,8 @@
+"""Flagship signal-chain models composed from the framework's ops."""
+
+from simpledsp_tpu.models.northstar import (
+    NorthStarChain,
+    ShardedNorthStarChain,
+    default_design,
+)
+from simpledsp_tpu.models.sdr import FMReceiverBank, SDRState

@@ -1,0 +1,114 @@
+"""SDR receiver chain: DDC -> PFB channelizer -> FM demod -> audio decimate.
+
+The full software-radio pipeline the north star requires (BASELINE.json:
+"full SDR chain: channelize + resample + FM demod"; SURVEY.md §2b).  Every
+stage is one of the framework's streaming ops composed functionally with an
+explicit state pytree — serializable, resumable, and splittable at block
+boundaries (the reference's streaming contract, test/testIIR.cpp:61-75,
+extended to a whole receiver).
+
+TPU-native representation: complex baseband is carried as (re, im) float32
+planes end-to-end (TPUs have no complex datapath, and this environment's
+TPU tunnel cannot DMA complex arrays host<->device).  The public call
+accepts either a complex array or an (xr, xi) pair; outputs (audio) are
+real, so host transfer is always float.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpledsp_tpu.design.fir import lowpass_taps
+from simpledsp_tpu.ops.channelizer import ChanStateRI, PFBChannelizer
+from simpledsp_tpu.ops.demod import DemodStateRI, fm_demod_ri
+from simpledsp_tpu.ops.fir import FIRState, PolyphaseDecimator, fir_init
+
+__all__ = ["SDRState", "FMReceiverBank"]
+
+
+class SDRState(NamedTuple):
+    """Carried state of the whole receiver (a serializable pytree)."""
+
+    chan: ChanStateRI    # channelizer input history (RI planes)
+    demod: DemodStateRI  # per-channel last IQ sample (RI planes)
+    audio: FIRState      # per-channel decimator history (real)
+
+
+class FMReceiverBank:
+    """Channelize a wideband stream into M carriers and FM-demodulate all of
+    them at once — the "many radios in one TPU program" model.
+
+    Args:
+      num_channels: M channels, spacing fs/M.
+      decim: audio decimation after demod (output rate fs / M / decim).
+      deviation_hz / fs: sets the FM discriminator gain.
+
+    Call with x: (B, T) complex baseband — or a pair (xr, xi) of float
+    planes — with T % (M * decim) == 0; returns
+    (audio (B, M, T // M // decim), state).
+    """
+
+    def __init__(self, num_channels: int, fs: float, decim: int = 4,
+                 deviation_hz: float = 75e3, taps_per_channel: int = 16,
+                 audio_taps: int = 64, dtype=jnp.float32):
+        self.m = int(num_channels)
+        self.fs = float(fs)
+        self.decim = int(decim)
+        self.dtype = dtype
+        chan_rate = fs / num_channels
+        self.fm_gain = float(chan_rate / (2.0 * np.pi * deviation_hz))
+        self.chan = PFBChannelizer(num_channels,
+                                   taps_per_channel=taps_per_channel,
+                                   dtype=dtype)
+        ataps = lowpass_taps(audio_taps, 0.4 / decim, fs=1.0)
+        self.audio = PolyphaseDecimator(ataps, decim, dtype=dtype)
+        self._jit = jax.jit(self._forward)
+
+    def init_state(self, batch: int) -> SDRState:
+        z = jnp.zeros((batch, self.chan.hist_len), dtype=self.dtype)
+        return SDRState(
+            chan=ChanStateRI(z, z),
+            demod=DemodStateRI(jnp.ones((batch, self.m), dtype=self.dtype),
+                               jnp.zeros((batch, self.m), dtype=self.dtype)),
+            audio=fir_init(self.audio.hist_len, (batch, self.m),
+                           dtype=self.dtype),
+        )
+
+    def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
+        """Jittable RI pipeline body."""
+        (ir, ii), chan_state = self.chan.process_ri(xr, xi, state.chan)
+        ir = jnp.swapaxes(ir, -1, -2)  # (B, M, G)
+        ii = jnp.swapaxes(ii, -1, -2)
+        disc, demod_state = fm_demod_ri(ir, ii, state.demod,
+                                        gain=self.fm_gain)
+        audio, audio_state = self.audio(disc, state.audio)
+        return audio, SDRState(chan_state, demod_state, audio_state)
+
+    def __call__(self, x: Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]],
+                 state: Optional[SDRState] = None
+                 ) -> Tuple[jnp.ndarray, SDRState]:
+        if isinstance(x, (tuple, list)):
+            xr, xi = x
+        elif jnp.iscomplexobj(x):
+            # Split on HOST if it is a numpy array (complex device transfers
+            # are unsupported on some TPU runtimes).
+            if isinstance(x, np.ndarray):
+                xr = jnp.asarray(x.real, dtype=self.dtype)
+                xi = jnp.asarray(x.imag, dtype=self.dtype)
+            else:
+                xr = jnp.real(x).astype(self.dtype)
+                xi = jnp.imag(x).astype(self.dtype)
+        else:
+            xr = jnp.asarray(x, dtype=self.dtype)
+            xi = jnp.zeros_like(xr)
+        b, t = xr.shape
+        if t % (self.m * self.decim) != 0:
+            raise ValueError(
+                f"T={t} must be a multiple of M*decim={self.m * self.decim}")
+        if state is None:
+            state = self.init_state(b)
+        return self._jit(xr, xi, state)

@@ -26,7 +26,14 @@ from simpledsp_tpu.design.fir import pfb_prototype_taps
 from simpledsp_tpu.ops import fft as _fft
 from simpledsp_tpu.ops.fir import FIRState, fir_init
 
-__all__ = ["PFBChannelizer"]
+__all__ = ["PFBChannelizer", "ChanStateRI"]
+
+
+class ChanStateRI(NamedTuple):
+    """Carried channelizer input history as (re, im) float planes."""
+
+    hist_r: jnp.ndarray  # (..., L-1)
+    hist_i: jnp.ndarray  # (..., L-1)
 
 
 class PFBChannelizer:
@@ -59,7 +66,8 @@ class PFBChannelizer:
         self._branch = taps.reshape(self.taps_per_branch, self.m).T.copy()
         self._jit = jax.jit(self._run)
 
-    def _run(self, xp: jnp.ndarray):
+    def _branch_filter(self, xp: jnp.ndarray) -> jnp.ndarray:
+        """Polyphase branch FIRs: (..., L-1+T) -> (..., T//M, M) real/any."""
         M, K, L = self.m, self.taps_per_branch, self.num_taps
         T = xp.shape[-1] - (L - 1)
         G = T // M
@@ -78,8 +86,41 @@ class PFBChannelizer:
             if acc is None:
                 acc = jnp.zeros(xp.shape[:-1] + (G,), dtype=xp.dtype)
             branches.append(acc)
-        v = jnp.stack(branches, axis=-1)  # (..., G, M)
-        return _fft.fft(v)                # DFT across branches -> channels
+        return jnp.stack(branches, axis=-1)  # (..., G, M)
+
+    def _run(self, xp: jnp.ndarray):
+        # Channel c downconverts +c*fs/M, i.e. y_c = sum_r v_r e^{+2pi i cr/M}
+        # — an UNSCALED inverse DFT across branches, computed with the
+        # forward kernel via conjugation: IDFT(v) = conj(DFT(conj(v))).
+        v = self._branch_filter(xp)
+        return jnp.conj(_fft.fft(jnp.conj(v)))
+
+    def _run_ri(self, xpr: jnp.ndarray, xpi: jnp.ndarray):
+        """TPU-native path: IQ carried as (re, im) float planes; the branch
+        FIRs (real taps) apply per-plane and the cross-branch (inverse) DFT
+        runs on the RI pair — no complex dtype ever materializes."""
+        vr = self._branch_filter(xpr)
+        vi = self._branch_filter(xpi)
+        yr, yi = _fft.fft_ri(vr, -vi)
+        return yr, -yi
+
+    def process_ri(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                   state: Optional["ChanStateRI"] = None
+                   ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], "ChanStateRI"]:
+        """Streaming RI entry point: (xr, xi): (..., T) float planes,
+        T % M == 0; returns ((yr, yi) each (..., T//M, M), state)."""
+        T = xr.shape[-1]
+        if T % self.m != 0:
+            raise ValueError(f"block length {T} must be a multiple of M={self.m}")
+        if state is None:
+            z = jnp.zeros(xr.shape[:-1] + (self.hist_len,), dtype=xr.dtype)
+            state = ChanStateRI(z, z)
+        xpr = jnp.concatenate([state.hist_r, xr], axis=-1)
+        xpi = jnp.concatenate([state.hist_i, xi], axis=-1)
+        yr, yi = self._run_ri(xpr, xpi)
+        new = ChanStateRI(xpr[..., xpr.shape[-1] - self.hist_len:],
+                          xpi[..., xpi.shape[-1] - self.hist_len:])
+        return (yr, yi), new
 
     def __call__(self, x: jnp.ndarray, state: Optional[FIRState] = None
                  ) -> Tuple[jnp.ndarray, FIRState]:

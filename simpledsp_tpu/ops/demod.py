@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DemodState", "fm_demod", "am_demod", "nco_mix"]
+__all__ = ["DemodState", "DemodStateRI", "fm_demod", "fm_demod_ri",
+           "am_demod", "am_demod_ri", "nco_mix", "nco_mix_ri"]
 
 
 class DemodState(NamedTuple):
@@ -51,6 +52,60 @@ def am_demod(iq: jnp.ndarray, *, remove_dc: bool = False) -> jnp.ndarray:
     if remove_dc:
         env = env - jnp.mean(env, axis=-1, keepdims=True)
     return env
+
+
+class DemodStateRI(NamedTuple):
+    """Last IQ sample as (re, im) float planes — TPU-native carried state.
+
+    The RI forms exist because TPUs have no complex datapath (and this
+    environment's TPU tunnel cannot even DMA complex arrays): baseband is
+    carried as two float planes end-to-end, which is also what keeps the
+    arithmetic on the VPU with no complex emulation overhead.
+    """
+
+    prev_r: jnp.ndarray  # (...,)
+    prev_i: jnp.ndarray  # (...,)
+
+
+def fm_demod_ri(ir: jnp.ndarray, ii: jnp.ndarray,
+                state: Optional[DemodStateRI] = None, *,
+                gain: float = 1.0) -> Tuple[jnp.ndarray, DemodStateRI]:
+    """Quadrature FM discriminator on (re, im) float planes.
+
+    Identical math to :func:`fm_demod` — y[n] = gain * arg(z[n] conj(z[n-1]))
+    with the complex product expanded into real VPU ops.
+    """
+    if state is None:
+        pr = jnp.ones(ir.shape[:-1], dtype=ir.dtype)
+        pi = jnp.zeros(ii.shape[:-1], dtype=ii.dtype)
+    else:
+        pr, pi = state.prev_r, state.prev_i
+    sr = jnp.concatenate([pr[..., None], ir[..., :-1]], axis=-1)
+    si = jnp.concatenate([pi[..., None], ii[..., :-1]], axis=-1)
+    dr = ir * sr + ii * si
+    di = ii * sr - ir * si
+    y = jnp.arctan2(di, dr) * jnp.asarray(gain, dtype=ir.dtype)
+    return y, DemodStateRI(ir[..., -1], ii[..., -1])
+
+
+def am_demod_ri(ir: jnp.ndarray, ii: jnp.ndarray, *,
+                remove_dc: bool = False) -> jnp.ndarray:
+    """Envelope detector on (re, im) planes: sqrt(ir^2 + ii^2)."""
+    env = jnp.sqrt(ir * ir + ii * ii)
+    if remove_dc:
+        env = env - jnp.mean(env, axis=-1, keepdims=True)
+    return env
+
+
+def nco_mix_ri(xr: jnp.ndarray, xi: jnp.ndarray, freq: float, *,
+               phase: float = 0.0, sample_offset: int = 0
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NCO digital downconversion on (re, im) planes:
+    (xr + i xi) * e^{-2 pi i f n}."""
+    n = jnp.arange(xr.shape[-1]) + sample_offset
+    ang = (-2.0 * np.pi * freq * n - phase).astype(xr.dtype)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return xr * c - xi * s, xr * s + xi * c
 
 
 def nco_mix(x: jnp.ndarray, freq: float, *, phase: float = 0.0,

@@ -40,7 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fft", "ifft", "fft_radix2", "fft_radix4", "dft_matrix"]
+__all__ = ["fft", "ifft", "fft_ri", "ifft_ri", "fft_radix2", "fft_radix4",
+           "dft_matrix"]
 
 # Largest size computed as one dense DFT matmul.  128 keeps the operand a
 # (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
@@ -57,9 +58,17 @@ def _is_power_of(n: int, base: int) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _dft_mats_f64(n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """(cos, -sin) parts of the forward DFT matrix W[k, j] = e^{-2 pi i kj/n}."""
-    k = np.arange(n)
-    ang = -2.0 * np.pi * np.outer(k, k) / n
+    """(cos, -sin) parts of the forward DFT matrix W[k, j] = e^{-2 pi i kj/n}.
+
+    The phase index k*j is reduced mod n in exact integer arithmetic before
+    scaling by 2 pi / n, so the trig argument never exceeds one turn — the
+    float64 analog of the reference's quarter-wave-symmetric table builder
+    (reference: include/sdsp/fft.h:148-194), which exists for the same
+    accuracy reason.
+    """
+    k = np.arange(n, dtype=np.int64)
+    red = np.outer(k, k) % n
+    ang = (-2.0 * np.pi / n) * red
     return np.cos(ang), np.sin(ang)
 
 
@@ -73,8 +82,12 @@ def dft_matrix(n: int, inverse: bool = False, dtype=np.float64):
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_f64(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Step-2 twiddles T[k1, n2] = e^{-2 pi i k1 n2 / (n1 n2)}."""
-    ang = -2.0 * np.pi * np.outer(np.arange(n1), np.arange(n2)) / (n1 * n2)
+    """Step-2 twiddles T[k1, n2] = e^{-2 pi i k1 n2 / (n1 n2)}, with the
+    phase index reduced mod n1*n2 exactly (see _dft_mats_f64)."""
+    n = n1 * n2
+    red = np.outer(np.arange(n1, dtype=np.int64),
+                   np.arange(n2, dtype=np.int64)) % n
+    ang = (-2.0 * np.pi / n) * red
     return np.cos(ang), np.sin(ang)
 
 
@@ -156,6 +169,23 @@ def _pick_real_dtype(x, dtype):
     if x.dtype in (jnp.complex128, jnp.float64):
         return jnp.dtype(jnp.float64)
     return jnp.dtype(jnp.float32)
+
+
+def fft_ri(xr: jnp.ndarray, xi: jnp.ndarray
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward FFT on explicit (re, im) float planes — the TPU-native entry
+    point.  Complex dtypes never materialize, which matters on runtimes
+    whose host<->device DMA lacks complex support (this environment's axon
+    tunnel) and keeps every matmul real on the MXU."""
+    return _fft_ri(xr, xi, inverse=False)
+
+
+def ifft_ri(xr: jnp.ndarray, xi: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse FFT on (re, im) planes: conjugate twiddles + 1/N scaling."""
+    yr, yi = _fft_ri(xr, xi, inverse=True)
+    scale = jnp.asarray(1.0 / xr.shape[-1], dtype=xr.dtype)
+    return yr * scale, yi * scale
 
 
 def fft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:

@@ -53,6 +53,7 @@ __all__ = [
     "iir_preload",
     "sosfilt_scan",
     "BlockIIR",
+    "block_operators_f64",
     "sosfilt",
 ]
 
@@ -203,6 +204,40 @@ def _state_space_f64(design: BiquadCascadeDesign):
     return A, p, c, d
 
 
+def block_operators_f64(design: BiquadCascadeDesign, block_size: int):
+    """Host-side float64 block-condensation operators for a B-sample block.
+
+    Returns (H, Phi, K, F, A, p, c, d):
+      H   (B, B)  lower-triangular Toeplitz of the cascade impulse response
+      Phi (B, D)  initial-state response of each in-block output
+      K   (D, B)  input-to-final-state map
+      F   (D, D)  B-step state transition A^B
+    plus the one-step LTI quadruple (A, p, c, d) with D = 2(M+1).
+    Shared by the single-device BlockIIR and the sequence-parallel
+    ShardedBlockIIR (parallel/iir.py).
+    """
+    A, p, c, d = _state_space_f64(design)
+    B = int(block_size)
+    D = A.shape[0]
+
+    powers = np.empty((B + 1, D, D))
+    powers[0] = np.eye(D)
+    for i in range(1, B + 1):
+        powers[i] = A @ powers[i - 1]
+
+    h = np.empty(B)
+    h[0] = d
+    for k in range(1, B):
+        h[k] = c @ powers[k - 1] @ p
+    idx = np.subtract.outer(np.arange(B), np.arange(B))
+    H = np.where(idx >= 0, h[np.clip(idx, 0, B - 1)], 0.0)
+
+    Phi = np.stack([c @ powers[i] for i in range(B)])
+    K = np.stack([powers[B - 1 - j] @ p for j in range(B)], axis=1)
+    F = powers[B]
+    return H, Phi, K, F, A, p, c, d
+
+
 class BlockIIR:
     """Precompiled block-parallel IIR for one design (trace-time constants).
 
@@ -228,30 +263,7 @@ class BlockIIR:
         self.block_size = int(block_size)
         self.dtype = dtype
 
-        A, p, c, d = _state_space_f64(design)
-        B = self.block_size
-        D = A.shape[0]
-
-        # Powers of A and the derived operators, all float64 on host.
-        powers = np.empty((B + 1, D, D))
-        powers[0] = np.eye(D)
-        for i in range(1, B + 1):
-            powers[i] = A @ powers[i - 1]
-
-        # Impulse response h[0..B-1]: h[0] = d, h[k] = c^T A^{k-1} p.
-        h = np.empty(B)
-        h[0] = d
-        for k in range(1, B):
-            h[k] = c @ powers[k - 1] @ p
-        # Lower-triangular Toeplitz H[i, j] = h[i - j].
-        idx = np.subtract.outer(np.arange(B), np.arange(B))
-        H = np.where(idx >= 0, h[np.clip(idx, 0, B - 1)], 0.0)
-
-        # Phi[i] = c^T A^i   (initial-state response of each in-block output).
-        Phi = np.stack([c @ powers[i] for i in range(B)])
-        # K[:, j] = A^{B-1-j} p  (input-to-final-state map).
-        K = np.stack([powers[B - 1 - j] @ p for j in range(B)], axis=1)
-        F = powers[B]
+        H, Phi, K, F, *_ = block_operators_f64(design, self.block_size)
 
         self._H = jnp.asarray(H, dtype=dtype)
         self._Phi = jnp.asarray(Phi, dtype=dtype)

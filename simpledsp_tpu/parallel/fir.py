@@ -1,0 +1,177 @@
+"""Halo-exchange FIR / polyphase / channelizer over a device mesh.
+
+FIR-family ops need the previous ``hist`` input samples at every shard
+boundary (overlap-save).  Sharding time over the ``sp`` mesh axis, the halo
+is ONE ``ppermute`` ring shift over ICI of each shard's tail to its right
+neighbor (SURVEY.md §2b "overlap-save halo exchange"); device 0 receives the
+carried streaming state instead, so blockwise-across-calls == whole-signal
+still holds at shard granularity (the reference's streaming contract,
+reference: test/testIIR.cpp:61-75, promoted to devices).
+
+The local compute is byte-identical to the single-device polyphase /
+channelizer kernels (ops/fir.py, ops/channelizer.py) — the parallel layer
+only supplies the halo, which is why the sharded results match the serial
+oracle exactly (up to nothing: same ops, same order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from simpledsp_tpu.ops.channelizer import PFBChannelizer
+from simpledsp_tpu.ops.fir import FIRState, PolyphaseResampler, fir_init
+from simpledsp_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+__all__ = ["halo_exchange", "ShardedFIR", "ShardedChannelizer"]
+
+
+def halo_exchange(xl: jnp.ndarray, hist: int, carried: jnp.ndarray,
+                  axis_name: str = SEQ_AXIS) -> jnp.ndarray:
+    """Prefix each time shard with its left neighbor's last ``hist`` samples.
+
+    xl: (..., T_local) local shard.  carried: (..., hist) streaming history
+    for the global stream start (device 0's prefix).  Returns
+    (..., hist + T_local).  One ppermute over ICI; devices with no left
+    neighbor get zeros from ppermute and select the carried state instead.
+    """
+    if hist == 0:
+        return xl
+    n = jax.lax.axis_size(axis_name)
+    tail = xl[..., -hist:]
+    if n > 1:
+        recv = jax.lax.ppermute(tail, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    else:
+        recv = jnp.zeros_like(tail)
+    i = jax.lax.axis_index(axis_name)
+    prefix = jnp.where(i == 0, carried.astype(xl.dtype), recv)
+    return jnp.concatenate([prefix, xl], axis=-1)
+
+
+def _replicated_tail(xp_l: jnp.ndarray, hist: int,
+                     axis_name: str = SEQ_AXIS) -> jnp.ndarray:
+    """Last ``hist`` samples of the *global* stream, replicated over the
+    sequence axis (becomes the next call's carried state)."""
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    tail = xp_l[..., -hist:]
+    mask = (i == n - 1).astype(tail.dtype)
+    return jax.lax.psum(tail * mask, axis_name)
+
+
+class ShardedFIR:
+    """Polyphase FIR / resampler sharded (channels over dp) x (time over sp).
+
+    Wraps a :class:`~simpledsp_tpu.ops.fir.PolyphaseResampler`: identical
+    semantics to the serial op (scipy.upfirdn), with the shard halo supplied
+    by ``halo_exchange``.  Each local shard length must be a multiple of
+    ``down`` so every shard starts at output phase 0.
+    """
+
+    def __init__(self, taps: np.ndarray, mesh: Mesh, up: int = 1,
+                 down: int = 1, dtype=jnp.float32):
+        self.rs = PolyphaseResampler(taps, up=up, down=down, dtype=dtype)
+        self.mesh = mesh
+        self.n_seq = mesh.shape[SEQ_AXIS]
+        self.n_data = mesh.shape[DATA_AXIS]
+        self.dtype = dtype
+        self._jit_cache = {}
+
+    @property
+    def hist_len(self) -> int:
+        return self.rs.hist_len
+
+    def _local(self, xl: jnp.ndarray, carried: jnp.ndarray):
+        xp = halo_exchange(xl, self.rs.hist_len, carried)
+        y = self.rs._run(xp)
+        new_hist = (_replicated_tail(xp, self.rs.hist_len)
+                    if self.rs.hist_len else carried)
+        return y, new_hist
+
+    def _build(self, c: int, t: int):
+        key = (c, t)
+        if key not in self._jit_cache:
+            fn = jax.shard_map(
+                self._local, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
+                out_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
+            )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def __call__(self, x: jnp.ndarray,
+                 state: Optional[FIRState] = None
+                 ) -> Tuple[jnp.ndarray, FIRState]:
+        if x.ndim != 2:
+            raise ValueError("ShardedFIR expects x of shape (C, T)")
+        c, t = x.shape
+        t_local = t // self.n_seq
+        if t_local * self.n_seq != t or t_local % self.rs.down != 0:
+            raise ValueError(
+                f"T={t} must split into sp={self.n_seq} shards with local "
+                f"length a multiple of down={self.rs.down}")
+        if state is None:
+            state = fir_init(self.rs.hist_len, (c,), dtype=self.dtype)
+        y, hist = self._build(c, t)(x.astype(self.dtype), state.hist)
+        return y, FIRState(hist)
+
+
+class ShardedChannelizer:
+    """PFB channelizer sharded (channels over dp) x (time over sp).
+
+    Local shards run the serial polyphase-branch + batched-FFT kernel
+    (ops/channelizer.py); the halo supplies the L-1 cross-shard history.
+    Output: (C, T // M, M) with the frame axis sharded over sp — each
+    device holds the spectra of its own time span (no gather needed until
+    a consumer wants global frames; then it is one all_gather over ICI).
+    """
+
+    def __init__(self, num_channels: int, mesh: Mesh,
+                 taps: Optional[np.ndarray] = None,
+                 taps_per_channel: int = 16, dtype=jnp.float32):
+        self.pfb = PFBChannelizer(num_channels, taps=taps,
+                                  taps_per_channel=taps_per_channel,
+                                  dtype=dtype)
+        self.mesh = mesh
+        self.n_seq = mesh.shape[SEQ_AXIS]
+        self.dtype = dtype
+        self._jit_cache = {}
+
+    def _local(self, xl: jnp.ndarray, carried: jnp.ndarray):
+        xp = halo_exchange(xl, self.pfb.hist_len, carried)
+        y = self.pfb._run(xp)
+        new_hist = _replicated_tail(xp, self.pfb.hist_len)
+        return y, new_hist
+
+    def _build(self, c: int, t: int):
+        key = (c, t)
+        if key not in self._jit_cache:
+            fn = jax.shard_map(
+                self._local, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
+                out_specs=(P(DATA_AXIS, SEQ_AXIS, None), P(DATA_AXIS, None)),
+            )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def __call__(self, x: jnp.ndarray,
+                 state: Optional[FIRState] = None
+                 ) -> Tuple[jnp.ndarray, FIRState]:
+        if x.ndim != 2:
+            raise ValueError("ShardedChannelizer expects x of shape (C, T)")
+        c, t = x.shape
+        m = self.pfb.m
+        t_local = t // self.n_seq
+        if t_local * self.n_seq != t or t_local % m != 0:
+            raise ValueError(
+                f"T={t} must split into sp={self.n_seq} shards with local "
+                f"length a multiple of M={m}")
+        if state is None:
+            state = fir_init(self.pfb.hist_len, (c,), dtype=x.dtype)
+        y, hist = self._build(c, t)(x, state.hist.astype(x.dtype))
+        return y, FIRState(hist)

@@ -7,17 +7,13 @@ sharding is exercised on an 8-device virtual mesh without a TPU pod
 real TPU chip instead.
 """
 
-import os
-
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax
 
+# This environment PRE-IMPORTS jax with JAX_PLATFORMS=axon (the TPU tunnel)
+# before user code runs, so env vars are too late — configure via jax.config.
+# Tests must run on the virtual 8-device CPU mesh, not the single TPU chip.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -163,7 +163,11 @@ def test_batched_channels():
     for i in range(3):
         for j in range(5):
             y1, _ = scan_filter(design, x[i, j])
-            assert np.array_equal(yb[i, j], y1)
+            # XLA compiles different programs for different batch shapes, so
+            # bit-exactness across shapes is not guaranteed (unlike blockwise
+            # splits of the SAME program, test_block_consistency); require
+            # float64-roundoff agreement instead.
+            np.testing.assert_allclose(yb[i, j], y1, rtol=1e-11, atol=1e-14)
 
 
 def test_sosfilt_convenience_paths_agree():
