@@ -29,25 +29,39 @@ def main():
     # the production pattern, and it hides this runtime's ~25 ms dispatch
     # latency behind device compute.
     c, t = 64, 1 << 20
-    chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32)
+    # HIGH tier: XLA 3-pass bf16 IIR matmuls + split-bf16 Pallas rFFT —
+    # ~106 dB SNR vs the f64 reference (gate: 90 dB), ~1.6x the
+    # HIGHEST-precision (~140 dB) throughput.
+    chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((c, t)), dtype=jnp.float32)
     s0 = jnp.zeros((c, 2 * (chain.design.nsections + 1)), dtype=jnp.float32)
 
     fwd = jax.jit(chain._forward)
-    # Warm-up / compile.
+    # Warm-up / compile, synced by a VALUE FETCH: block_until_ready is not
+    # reliable through this TPU runtime's tunnel (it can return before the
+    # work executes), but fetching a value data-dependent on the result
+    # cannot lie.
     out, s = fwd(x, s0)
-    jax.block_until_ready(out)
+    float(jnp.sum(s))
 
     iters = 16
     s = s0
     start = time.perf_counter()
     for _ in range(iters):
         out, s = fwd(x, s)
-    jax.block_until_ready((out, s))
-    dt = (time.perf_counter() - start) / iters
+    # The chained state forces the whole 16-call dependency chain.
+    checksum = float(jnp.sum(s))
+    t_loop = time.perf_counter() - start
+    # Calibrate out the fetch round-trip on the (now ready) same value.
+    start = time.perf_counter()
+    float(jnp.sum(s))
+    t_fetch = time.perf_counter() - start
+    dt = max(t_loop - t_fetch, 1e-9) / iters
 
     msps = c * t / dt / 1e6
+    del checksum
     result = {
         "metric": "northstar_chain_8sos_iir_4096fft_throughput",
         "value": round(msps, 1),

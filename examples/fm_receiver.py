@@ -1,5 +1,7 @@
 """End-to-end user scenario through the PUBLIC API on the real TPU chip."""
-import time, numpy as np, jax, jax.numpy as jnp
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
 t0=time.time()
 def lap(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 
@@ -43,10 +45,10 @@ assert abs(peak2 - 1000.0) < 20
 
 chain = NorthStarChain()
 xx = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8192)), dtype=jnp.float32)
-spectra, st = chain(xx)
-jax.block_until_ready(spectra)
-assert spectra.shape == (2, 2, 4096)
-lap(f"northstar spectra {spectra.shape}")
+(sr, si), st = chain(xx)
+jax.block_until_ready(sr)
+assert sr.shape == si.shape == (2, 2, 4096)
+lap(f"northstar spectra RI {sr.shape} pallas={chain.use_pallas}")
 
 # probes: wrong block length + odd section count must raise clean errors
 try:

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from simpledsp_tpu.design.biquad import BiquadCascadeDesign, design_lowpass
 from simpledsp_tpu.ops import fft as _fft
+from simpledsp_tpu.kernels import fft as _kfft
 from simpledsp_tpu.ops.iir import BlockIIR, IIRState, iir_init
 from simpledsp_tpu.parallel.iir import ShardedBlockIIR
 from simpledsp_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
@@ -40,29 +41,46 @@ class NorthStarChain:
     """Streaming IIR -> framed FFT on one device.
 
     Call with x: (C, T), T a multiple of fft_size; returns
-    (spectra (C, T // fft_size, fft_size) complex, state).
+    (((spec_re, spec_im) each (C, T // fft_size, fft_size)), state) — RI
+    float planes (TPU-native; complex never materializes).
     """
 
     def __init__(self, design: Optional[BiquadCascadeDesign] = None,
                  fft_size: int = 4096, block_size: int = 256,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, precision=None,
+                 use_pallas: Optional[bool] = None):
         self.design = design or default_design()
         self.fft_size = int(fft_size)
         self.dtype = dtype
-        self.iir = BlockIIR(self.design, block_size=block_size, dtype=dtype)
+        self.precision = precision
+        self.iir = BlockIIR(self.design, block_size=block_size, dtype=dtype,
+                            precision=precision)
+        # The fused Pallas rFFT kernel runs on real TPU backends; elsewhere
+        # (CPU tests, parity runs) use the composable jnp path.
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and _kfft.pallas_fft_supported(self.fft_size))
+        self.use_pallas = use_pallas
         self._jit = jax.jit(self._forward)
 
     def _forward(self, x: jnp.ndarray, s0: jnp.ndarray):
-        """Jittable body: x (C, T); s0 flat state (C, D)."""
+        """Jittable body: x (C, T); s0 flat state (C, D).  Returns RI
+        spectra planes ((C, F, N), (C, F, N)) and the final state."""
         y, s_fin = self.iir.run_blocks(
             x.reshape(x.shape[0], -1, self.iir.block_size), s0)
         y = y.reshape(x.shape[0], -1, self.fft_size)
-        spectra = _fft.fft(y)
-        return spectra, s_fin
+        if self.use_pallas:
+            sr, si = _kfft.rfft_frames(y, frames_per_tile=32,
+                                       precision=self.precision)
+        else:
+            sr, si = _fft.fft_ri(y, jnp.zeros_like(y))
+        return (sr, si), s_fin
 
     def __call__(self, x: jnp.ndarray,
                  state: Optional[IIRState] = None
-                 ) -> Tuple[jnp.ndarray, IIRState]:
+                 ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], IIRState]:
+        """Returns ((spec_re, spec_im), state) — RI planes, TPU-native
+        (complex never materializes; see ops/demod.py DemodStateRI)."""
         c, t = x.shape
         if t % self.fft_size or t % self.iir.block_size:
             raise ValueError(
@@ -88,13 +106,19 @@ class ShardedNorthStarChain:
     def __init__(self, mesh: Mesh,
                  design: Optional[BiquadCascadeDesign] = None,
                  fft_size: int = 4096, block_size: int = 256,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, precision=None,
+                 use_pallas: Optional[bool] = None):
         self.mesh = mesh
         self.design = design or default_design()
         self.fft_size = int(fft_size)
         self.dtype = dtype
+        self.precision = precision
         self.iir = ShardedBlockIIR(self.design, mesh, block_size=block_size,
-                                   dtype=dtype)
+                                   dtype=dtype, precision=precision)
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and _kfft.pallas_fft_supported(self.fft_size))
+        self.use_pallas = use_pallas
         self._jit_cache = {}
 
     def _build(self, c: int, t: int):
@@ -106,12 +130,19 @@ class ShardedNorthStarChain:
             def local_fn(xl, s0):
                 y, s_fin = self.iir._local(apow, xl, s0)
                 frames = y.reshape(y.shape[0], -1, self.fft_size)
-                return _fft.fft(frames), s_fin
+                if self.use_pallas:
+                    sr, si = _kfft.rfft_frames(frames, frames_per_tile=32,
+                                               precision=self.precision)
+                else:
+                    sr, si = _fft.fft_ri(frames, jnp.zeros_like(frames))
+                return (sr, si), s_fin
 
             fn = jax.shard_map(
                 local_fn, mesh=self.mesh,
                 in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
-                out_specs=(P(DATA_AXIS, SEQ_AXIS, None), P(DATA_AXIS, None)),
+                out_specs=((P(DATA_AXIS, SEQ_AXIS, None),
+                            P(DATA_AXIS, SEQ_AXIS, None)),
+                           P(DATA_AXIS, None)),
             )
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]

@@ -112,7 +112,8 @@ def _cmatmul(wr, wi, xr, xi, axis: int):
     else:
         raise ValueError(axis)
     dot = functools.partial(jnp.einsum, spec,
-                            preferred_element_type=xr.dtype)
+                            preferred_element_type=xr.dtype,
+                            precision=jax.lax.Precision.HIGHEST)
     yr = dot(wr, xr) - dot(wi, xi)
     yi = dot(wr, xi) + dot(wi, xr)
     return yr, yi

@@ -64,19 +64,21 @@ class ShardedBlockIIR:
     """
 
     def __init__(self, design: BiquadCascadeDesign, mesh: Mesh,
-                 block_size: int = 256, dtype=jnp.float32):
+                 block_size: int = 256, dtype=jnp.float32, precision=None):
         self.design = design
         self.mesh = mesh
         self.block_size = int(block_size)
         self.dtype = dtype
         self.n_seq = mesh.shape[SEQ_AXIS]
         self.n_data = mesh.shape[DATA_AXIS]
+        self.precision = precision or jax.lax.Precision.HIGHEST
 
         H, Phi, K, F, *_ = block_operators_f64(design, self.block_size)
-        self._H = jnp.asarray(H, dtype=dtype)
-        self._Phi = jnp.asarray(Phi, dtype=dtype)
-        self._K = jnp.asarray(K, dtype=dtype)
-        self._F = jnp.asarray(F, dtype=dtype)
+        npdt = np.dtype(dtype)
+        self._H = H.astype(npdt)
+        self._Phi = Phi.astype(npdt)
+        self._K = K.astype(npdt)
+        self._F = F.astype(npdt)
         self._F64 = F
         self.state_dim = F.shape[0]
         self._apow_cache = {}
@@ -92,7 +94,7 @@ class ShardedBlockIIR:
             out[0] = np.eye(D)
             for i in range(1, self.n_seq + 1):
                 out[i] = Fs @ out[i - 1]
-            self._apow_cache[nb_local] = jnp.asarray(out, dtype=self.dtype)
+            self._apow_cache[nb_local] = out.astype(np.dtype(self.dtype))
         return self._apow_cache[nb_local]
 
     # -- the per-device computation (runs inside shard_map) ----------------
@@ -104,8 +106,10 @@ class ShardedBlockIIR:
         xb = xl.reshape(xl.shape[:-1] + (nb, B))
 
         # Input-driven work — all MXU, parallel over (channels, blocks).
-        conv = jnp.einsum("ij,ckj->cki", H, xb, preferred_element_type=xb.dtype)
-        kx = jnp.einsum("dj,ckj->ckd", K, xb, preferred_element_type=xb.dtype)
+        conv = jnp.einsum("ij,ckj->cki", H, xb, preferred_element_type=xb.dtype,
+                          precision=self.precision)
+        kx = jnp.einsum("dj,ckj->ckd", K, xb, preferred_element_type=xb.dtype,
+                          precision=self.precision)
 
         kx_t = jnp.moveaxis(kx, 1, 0)  # (nb, C_l, D)
 
@@ -137,7 +141,8 @@ class ShardedBlockIIR:
         _, s_starts = jax.lax.scan(step, s_in, kx_t)
         s_starts = jnp.moveaxis(s_starts, 0, 1)  # (C_l, nb, D)
         y = conv + jnp.einsum("id,ckd->cki", Phi, s_starts,
-                              preferred_element_type=xb.dtype)
+                              preferred_element_type=xb.dtype,
+                          precision=self.precision)
         return y.reshape(xl.shape), s_fin
 
     def _build(self, c: int, t: int):

@@ -1,0 +1,83 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled path is exercised
+on real TPU by bench.py / examples).  Methodology per SURVEY.md §4 category
+1/2: analytic spectra + round trips vs numpy's FFT."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpledsp_tpu.kernels.fft import (
+    fft_frames_ri,
+    pallas_fft_supported,
+    rfft_frames,
+)
+
+
+@pytest.mark.parametrize("n", [64, 256, 1024, 4096])
+def test_rfft_matches_numpy(n, rng):
+    x = rng.standard_normal((2, 3, n))
+    ref = np.fft.fft(x)
+    yr, yi = rfft_frames(jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=n * 1e-13)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=n * 1e-13)
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_cfft_matches_numpy(n, rng):
+    z = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    ref = np.fft.fft(z)
+    yr, yi = fft_frames_ri(jnp.asarray(z.real), jnp.asarray(z.imag),
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=n * 1e-13)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=n * 1e-13)
+
+
+def test_ifft_round_trip(rng):
+    n = 1024
+    z = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    yr, yi = fft_frames_ri(jnp.asarray(z.real), jnp.asarray(z.imag),
+                           interpret=True)
+    br, bi = fft_frames_ri(yr, yi, inverse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(br), z.real, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bi), z.imag, atol=1e-12)
+
+
+def test_matches_jnp_path(rng):
+    """Kernel and composable jnp path must agree (same tables, same math)."""
+    from simpledsp_tpu.ops import fft as F
+    n = 4096
+    x = rng.standard_normal((4, n))
+    yr, yi = rfft_frames(jnp.asarray(x), interpret=True)
+    jr, ji = F.fft_ri(jnp.asarray(x), jnp.zeros((4, n)))
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(jr), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ji), atol=1e-10)
+
+
+def test_analytic_cosine_bin(rng):
+    """Reference test category 1 (testFFT.cpp:17-38): cosine at bin 7."""
+    n = 1024
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * 7 * t / n)
+    yr, yi = rfft_frames(jnp.asarray(x[None, :]), interpret=True)
+    spec = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]
+    expected = np.zeros(n, dtype=complex)
+    expected[7] = expected[n - 7] = n / 2
+    assert np.abs(spec - expected).max() < 4 * n * np.finfo(np.float64).eps
+
+
+def test_supported_sizes():
+    assert pallas_fft_supported(4096)
+    assert pallas_fft_supported(16384)
+    assert not pallas_fft_supported(32768)  # 181.02^2; no <=128 split
+    with pytest.raises(ValueError):
+        rfft_frames(jnp.zeros((2, 32768)), interpret=True)
+
+
+def test_frame_tiling_degrades(rng):
+    """Odd frame counts fall back to smaller tiles, same result."""
+    n = 256
+    x = rng.standard_normal((5, n))  # 5 frames: not divisible by 8
+    ref = np.fft.fft(x)
+    yr, yi = rfft_frames(jnp.asarray(x), frames_per_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-11)
