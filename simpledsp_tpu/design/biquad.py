@@ -42,8 +42,34 @@ __all__ = [
     "design_highpass",
     "design_bandpass",
     "design_bandstop",
+    "bp_cutoff_freqs",
     "sos_matrix",
 ]
+
+
+def bp_cutoff_freqs(f0: float, q: float, fs: float) -> Tuple[float, float]:
+    """-3 dB band edges (f1, f2) for a band-pass/stop of center f0, quality q.
+
+    Same contract as the reference's solver (reference:
+    test_data/findIIRCutoffFreq.m): f2 - f1 = f0/q, with the edges centered
+    so the bilinear-transform response is symmetric about f0 — geometric
+    symmetry in the tan-prewarped domain,
+    tan(pi f1/fs) * tan(pi f2/fs) == tan(pi f0/fs)^2.  Solved by bracketed
+    root finding on the closed-form centering condition instead of the
+    reference's progressive step-refinement scan.
+    """
+    from scipy.optimize import brentq
+
+    bw = f0 / q
+    t0sq = math.tan(math.pi * f0 / fs) ** 2
+
+    def centering(f1):
+        return (math.tan(math.pi * f1 / fs)
+                * math.tan(math.pi * (f1 + bw) / fs) - t0sq)
+
+    hi = min(f0, fs / 2.0 - bw) - 1e-12 * fs
+    f1 = brentq(centering, 1e-9 * fs, hi, xtol=1e-12, rtol=1e-15)
+    return f1, f1 + bw
 
 
 class FilterType(enum.IntEnum):
@@ -217,25 +243,11 @@ def design_bandstop(m: int, f0: float, fs: float, q: float,
     _check_args(m, f0, fs)
     if m % 2 != 0:
         raise ValueError("band-stop needs an even number of sections")
-    # Band edges from (f0, q): same fractional-bandwidth convention as BP:
-    # f2 - f1 = f0/q with geometric symmetry f1*f2 = f0^2 in the warped domain.
     import scipy.signal as sig
 
     # Band edges: width f0/q, centered so the bilinear-transform notch lands
-    # exactly at f0 — i.e. geometric symmetry in the prewarped (tan) domain:
-    # tan(pi f1/fs) * tan(pi f2/fs) == tan(pi f0/fs)^2.
-    from scipy.optimize import brentq
-
-    bw = f0 / q
-    t0sq = math.tan(math.pi * f0 / fs) ** 2
-
-    def centering(f1):
-        return (math.tan(math.pi * f1 / fs)
-                * math.tan(math.pi * (f1 + bw) / fs) - t0sq)
-
-    hi = min(f0, fs / 2.0 - bw) - 1e-12 * fs
-    f1 = brentq(centering, 1e-9 * fs, hi, xtol=1e-12, rtol=1e-15)
-    f2 = f1 + bw
+    # exactly at f0 (shared solver; reference: findIIRCutoffFreq.m).
+    f1, f2 = bp_cutoff_freqs(f0, q, fs)
     # scipy butter(N, 'bandstop') yields a 2N-pole filter -> N biquads, so
     # N == m gives exactly m sections (order 2m, matching the BP convention).
     z, p, kz = sig.butter(m, [f1, f2], btype="bandstop", fs=fs, output="zpk")

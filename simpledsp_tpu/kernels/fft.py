@@ -93,7 +93,7 @@ def _make_kernel(real_input: bool, precision=None):
         dot_raw = functools.partial(
             jax.lax.dot_general,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=xr_ref.dtype,
             precision=(jax.lax.Precision.DEFAULT if use_split
                        else jax.lax.Precision.HIGHEST))
 
