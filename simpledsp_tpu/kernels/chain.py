@@ -1,0 +1,226 @@
+"""Fully-fused north-star chain kernel: block IIR + framed FFT in one pass.
+
+The unfused chain writes the filtered signal y to HBM and reads it back for
+the FFT — 2x the signal size in wasted traffic.  This kernel computes, per
+frame tile, y = H x_blk + Phi s_start IN VMEM and feeds it straight into
+the four-step FFT, so the signal's only HBM trips are: read x, write
+spectra planes.
+
+Layout trick: with IIR block size 64 and frame size n1*64, a frame's
+(block, sample) view (64-sample blocks) IS the four-step FFT's (n1, n2)
+view — no lane-splitting reshape (unsupported in Mosaic) is ever needed:
+
+    x frame (n1 blocks, 64)            s = n1*64 + n2
+    y = dot(x, H^T) + dot(s_starts, Phi^T)     (MXU, lane contraction)
+    -> four-step FFT steps (kernels/fft.py)    (MXU + VPU, all in VMEM)
+    -> spectra (k2, k1) planes                  one HBM write
+
+The per-block incoming states s_starts are computed OUTSIDE the kernel by
+the usual two-level condensation (ops/iir.py math): a cheap frame-level
+scan plus one (64 D, 64 D) matmul per frame expanding to sub-block starts.
+All operators are float64 host-side constants (reference compile-time-table
+economics, reference: include/sdsp/fft.h:264-265).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simpledsp_tpu.design.biquad import BiquadCascadeDesign
+from simpledsp_tpu.kernels.fft import _best_split, _consts
+from simpledsp_tpu.ops.iir import block_operators_f64
+
+__all__ = ["FusedNorthStarOperators", "fused_chain_frames"]
+
+_SUB = 64  # IIR sub-block size == FFT n2 (the layout-sharing trick)
+
+
+class FusedNorthStarOperators:
+    """Host-precomputed f64 operators for one design + frame size."""
+
+    def __init__(self, design: BiquadCascadeDesign, fft_size: int,
+                 dtype=jnp.float32):
+        split = _best_split(fft_size)
+        if split is None or split[1] != _SUB:
+            raise ValueError(
+                f"fused chain needs fft_size = n1 * {_SUB} with n1 <= 128; "
+                f"got {fft_size}")
+        self.n1, self.n2 = split
+        self.fft_size = fft_size
+        self.design = design
+        npdt = np.dtype(dtype)
+
+        H, Phi, K, F64, *_ = block_operators_f64(design, _SUB)
+        D = F64.shape[0]
+        self.state_dim = D
+        nb = self.n1  # sub-blocks per frame
+
+        # Powers of the 64-sample transition.
+        pw = np.empty((nb + 1, D, D))
+        pw[0] = np.eye(D)
+        for i in range(1, nb + 1):
+            pw[i] = F64 @ pw[i - 1]
+
+        # Frame-level transition and input-to-frame-state map:
+        #   s_{f+1} = Ff s_f + sum_j F64^{nb-1-j} kx[j]
+        self.Ff = pw[nb].astype(npdt)
+        self.Wlast = np.stack([pw[nb - 1 - j] for j in range(nb)]).astype(npdt)
+
+        # Sub-block start expansion, one (nb*D, nb*D) matrix:
+        # inputs v = [s_f, kx[0], ..., kx[nb-2]]  (nb vectors of D)
+        # s_start[p] = F64^p s_f + sum_{j<p} F64^{p-1-j} kx[j]
+        U = np.zeros((nb, nb, D, D))
+        for p in range(nb):
+            U[p, 0] = pw[p]
+            for j in range(1, nb):
+                if j - 1 < p:
+                    U[p, j] = pw[p - 1 - (j - 1)]
+        self.U2 = U.transpose(0, 2, 1, 3).reshape(nb * D, nb * D).astype(npdt)
+
+        self.H = H.astype(npdt)          # (64, 64) lower-tri Toeplitz
+        self.Phi = Phi.astype(npdt)      # (64, D)
+        self.K = K.astype(npdt)          # (D, 64)
+        self.dtype = dtype
+
+
+def _make_fused_kernel(precision):
+    use_split = precision == jax.lax.Precision.HIGH
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1c_ref, w1s_ref, w2c_ref,
+             w2s_ref, tc_ref, ts_ref, yr_ref, yi_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            raw = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=(jax.lax.Precision.DEFAULT if use_split
+                           else jax.lax.Precision.HIGHEST))
+            if not use_split:
+                return raw
+
+            def split(a):
+                hi = a.astype(jnp.bfloat16)
+                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
+                return hi, lo
+
+            def dot(a, b):
+                a_hi, a_lo = split(a)
+                b_hi, b_lo = split(b)
+                return raw(a_hi, b_hi) + raw(a_lo, b_hi) + raw(a_hi, b_lo)
+            return dot
+
+        dot_lane = make_dot(2)   # contract the minor (lane) axis
+        dot_mid = make_dot(1)    # contract the middle axis (FFT steps)
+
+        # --- IIR block conv, entirely in VMEM -------------------------
+        # y[r, blk, i] = sum_j H[i, j] x[r, blk, j] + sum_d Phi[i, d] s[r, blk, d]
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+
+        # --- four-step FFT of real frames y (r, n1, n2) ---------------
+        c_r = dot_mid(y, w1c_ref[:])          # (r, n2, k1)
+        s_r = dot_mid(y, w1s_ref[:])
+        tr = c_r * tc_ref[:] - s_r * ts_ref[:]
+        ti = s_r * tc_ref[:] + c_r * ts_ref[:]
+        yr2 = dot_mid(tr, w2c_ref[:]) - dot_mid(ti, w2s_ref[:])
+        yi2 = dot_mid(ti, w2c_ref[:]) + dot_mid(tr, w2s_ref[:])
+        yr_ref[:] = jnp.swapaxes(yr2, 1, 2)
+        yi_ref[:] = jnp.swapaxes(yi2, 1, 2)
+
+    return body
+
+
+def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
+                       s0: jnp.ndarray, *, frames_per_tile: int = 16,
+                       precision=None, interpret: bool = False):
+    """Run the fused chain.
+
+    Args:
+      x: (C, T) real input, T a multiple of fft_size.
+      s0: (C, D) flat incoming state.
+    Returns ((spec_re, spec_im) each (C, F, fft_size), s_final (C, D)).
+    """
+    c, t = x.shape
+    n1, n2, N = ops.n1, ops.n2, ops.fft_size
+    D = ops.state_dim
+    nf = t // N
+    dtype = x.dtype
+
+    # ---- XLA pre-pass: per-sub-block input-driven states ----
+    xsub = x.reshape(c, nf, n1, n2)
+    prec_x = precision or jax.lax.Precision.HIGHEST
+    kx = jnp.einsum("dj,cfbj->cfbd", ops.K, xsub,
+                    preferred_element_type=dtype, precision=prec_x)
+    k_frame = jnp.einsum("jde,cfje->cfd", ops.Wlast, kx,
+                         preferred_element_type=dtype, precision=prec_x)
+
+    # Frame-level scan (C-batched, D-dim — negligible).
+    kf_t = jnp.moveaxis(k_frame, 1, 0)  # (F, C, D)
+
+    def step(s, k):
+        return jnp.einsum("de,ce->cd", ops.Ff, s,
+                          preferred_element_type=dtype,
+                          precision=prec_x) + k, s
+
+    s_fin, s_frames = jax.lax.scan(step, s0, kf_t)
+    s_frames = jnp.moveaxis(s_frames, 0, 1)  # (C, F, D) frame starts
+
+    # Sub-block start expansion: one (nb*D, nb*D) matmul per frame.
+    v = jnp.concatenate([s_frames[:, :, None, :], kx[:, :, :n1 - 1]], axis=2)
+    v2 = v.reshape(c * nf, n1 * D)
+    starts = jnp.einsum("pq,fq->fp", jnp.asarray(ops.U2), v2,
+                        preferred_element_type=dtype, precision=prec_x)
+    starts = starts.reshape(c, nf, n1, D)
+
+    # ---- fused Pallas kernel over frame tiles ----
+    f_total = c * nf
+    x3 = xsub.reshape(f_total, n1, n2)
+    s3 = starts.reshape(f_total, n1, D)
+
+    max_r = max(1, (13 << 20) // (32 * N * np.dtype(dtype).itemsize))
+    r = min(frames_per_tile, max_r)
+    while f_total % r != 0:
+        r //= 2
+        if r == 0:
+            raise ValueError(f"frame count {f_total} not tileable")
+
+    _, _, w1c, w1s, w2c, w2s, tc, ts = _consts(N, False, np.dtype(dtype).name)
+    # dot_lane contracts b's axis 1 (the "in" index), so H (out, in) and
+    # Phi (out, D) are passed as-is.
+    tables = (ops.H, ops.Phi) + tuple(
+        np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc, ts))
+
+    in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    s_blk = pl.BlockSpec((r, n1, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((r, n2, n1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_fused_kernel(precision)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(f_total // r,),
+        in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((f_total, n2, n1), dtype),
+                   jax.ShapeDtypeStruct((f_total, n2, n1), dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(8 * N * (n1 + n2 + _SUB) * f_total),
+            bytes_accessed=3 * f_total * N * np.dtype(dtype).itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x3, s3, *tables)
+    return ((yr.reshape(c, nf, N), yi.reshape(c, nf, N)), s_fin)

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from simpledsp_tpu.design.biquad import BiquadCascadeDesign, design_lowpass
 from simpledsp_tpu.ops import fft as _fft
 from simpledsp_tpu.kernels import fft as _kfft
+from simpledsp_tpu.kernels import chain as _kchain
 from simpledsp_tpu.ops.iir import BlockIIR, IIRState, iir_init
 from simpledsp_tpu.parallel.iir import ShardedBlockIIR
 from simpledsp_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
@@ -55,17 +56,29 @@ class NorthStarChain:
         self.precision = precision
         self.iir = BlockIIR(self.design, block_size=block_size, dtype=dtype,
                             precision=precision)
-        # The fused Pallas rFFT kernel runs on real TPU backends; elsewhere
+        # The fused Pallas kernels run on real TPU backends; elsewhere
         # (CPU tests, parity runs) use the composable jnp path.
         if use_pallas is None:
             use_pallas = (jax.default_backend() == "tpu"
                           and _kfft.pallas_fft_supported(self.fft_size))
         self.use_pallas = use_pallas
+        # Fully-fused single-kernel path (IIR conv + FFT in VMEM): needs
+        # the fft_size = n1 * 64 layout (kernels/chain.py).
+        self._fused_ops = None
+        if use_pallas:
+            try:
+                self._fused_ops = _kchain.FusedNorthStarOperators(
+                    self.design, self.fft_size, dtype=dtype)
+            except ValueError:
+                pass
         self._jit = jax.jit(self._forward)
 
     def _forward(self, x: jnp.ndarray, s0: jnp.ndarray):
         """Jittable body: x (C, T); s0 flat state (C, D).  Returns RI
         spectra planes ((C, F, N), (C, F, N)) and the final state."""
+        if self._fused_ops is not None:
+            return _kchain.fused_chain_frames(
+                self._fused_ops, x, s0, precision=self.precision)
         y, s_fin = self.iir.run_blocks(
             x.reshape(x.shape[0], -1, self.iir.block_size), s0)
         y = y.reshape(x.shape[0], -1, self.fft_size)

@@ -81,3 +81,50 @@ def test_frame_tiling_degrades(rng):
     ref = np.fft.fft(x)
     yr, yi = rfft_frames(jnp.asarray(x), frames_per_tile=8, interpret=True)
     np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-11)
+
+
+class TestFusedChain:
+    """Fused IIR+FFT chain kernel vs the scipy oracle (interpret mode)."""
+
+    def test_matches_scipy_oracle_f64(self, rng):
+        import scipy.signal as sig
+        from simpledsp_tpu.design.biquad import sos_matrix
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        design = default_design()
+        ops = FusedNorthStarOperators(design, 4096, dtype=jnp.float64)
+        x = rng.standard_normal((2, 8192))
+        s0 = jnp.zeros((2, ops.state_dim), jnp.float64)
+        (sr, si), s_fin = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                             interpret=True)
+        y64 = sig.sosfilt(sos_matrix(design), x, axis=-1)
+        ref = np.fft.fft(y64.reshape(2, -1, 4096))
+        got = np.asarray(sr) + 1j * np.asarray(si)
+        assert np.abs(got - ref).max() < 1e-11
+
+    def test_streaming_state_handoff(self, rng):
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        ops = FusedNorthStarOperators(default_design(), 4096,
+                                      dtype=jnp.float64)
+        x = rng.standard_normal((1, 16384))
+        s0 = jnp.zeros((1, ops.state_dim), jnp.float64)
+        (ar, ai), s_all = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                             interpret=True)
+        (br, bi), s_mid = fused_chain_frames(ops, jnp.asarray(x[:, :8192]),
+                                             s0, interpret=True)
+        (cr, ci), s_end = fused_chain_frames(ops, jnp.asarray(x[:, 8192:]),
+                                             s_mid, interpret=True)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
+            np.asarray(ar), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_all),
+                                   atol=1e-12)
+
+    def test_rejects_bad_fft_size(self):
+        from simpledsp_tpu.kernels.chain import FusedNorthStarOperators
+        from simpledsp_tpu.models.northstar import default_design
+        with pytest.raises(ValueError):
+            FusedNorthStarOperators(default_design(), 1000)
