@@ -6,3 +6,4 @@ from simpledsp_tpu.models.northstar import (
     default_design,
 )
 from simpledsp_tpu.models.sdr import FMReceiverBank, SDRState
+from simpledsp_tpu.models.sdr import AMReceiverBank

@@ -24,10 +24,10 @@ import numpy as np
 
 from simpledsp_tpu.design.fir import lowpass_taps
 from simpledsp_tpu.ops.channelizer import ChanStateRI, PFBChannelizer
-from simpledsp_tpu.ops.demod import DemodStateRI, fm_demod_ri
+from simpledsp_tpu.ops.demod import DemodStateRI, am_demod_ri, fm_demod_ri
 from simpledsp_tpu.ops.fir import FIRState, PolyphaseDecimator, fir_init
 
-__all__ = ["SDRState", "FMReceiverBank"]
+__all__ = ["SDRState", "FMReceiverBank", "AMReceiverBank"]
 
 
 class SDRState(NamedTuple):
@@ -112,3 +112,28 @@ class FMReceiverBank:
         if state is None:
             state = self.init_state(b)
         return self._jit(xr, xi, state)
+
+
+class AMReceiverBank(FMReceiverBank):
+    """Channelize and AM-envelope-detect all M carriers at once.
+
+    Same pipeline as :class:`FMReceiverBank` with the discriminator swapped
+    for an envelope detector; per-channel DC (the carrier level) is removed
+    by the audio decimator chain only if ``remove_dc``.
+    """
+
+    def __init__(self, num_channels: int, fs: float, decim: int = 4,
+                 remove_dc: bool = True, taps_per_channel: int = 16,
+                 audio_taps: int = 64, dtype=jnp.float32):
+        super().__init__(num_channels, fs, decim=decim,
+                         taps_per_channel=taps_per_channel,
+                         audio_taps=audio_taps, dtype=dtype)
+        self.remove_dc = remove_dc
+
+    def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
+        (ir, ii), chan_state = self.chan.process_ri(xr, xi, state.chan)
+        ir = jnp.swapaxes(ir, -1, -2)
+        ii = jnp.swapaxes(ii, -1, -2)
+        env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
+        audio, audio_state = self.audio(env, state.audio)
+        return audio, SDRState(chan_state, state.demod, audio_state)

@@ -12,5 +12,6 @@ from simpledsp_tpu.parallel.iir import ShardedBlockIIR
 from simpledsp_tpu.parallel.fir import (
     ShardedChannelizer,
     ShardedFIR,
+    ShardedOverlapSaveFIR,
     halo_exchange,
 )

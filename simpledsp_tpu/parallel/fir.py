@@ -27,7 +27,8 @@ from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.fir import FIRState, PolyphaseResampler, fir_init
 from simpledsp_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 
-__all__ = ["halo_exchange", "ShardedFIR", "ShardedChannelizer"]
+__all__ = ["halo_exchange", "ShardedFIR", "ShardedChannelizer",
+           "ShardedOverlapSaveFIR"]
 
 
 def halo_exchange(xl: jnp.ndarray, hist: int, carried: jnp.ndarray,
@@ -174,4 +175,55 @@ class ShardedChannelizer:
         if state is None:
             state = fir_init(self.pfb.hist_len, (c,), dtype=x.dtype)
         y, hist = self._build(c, t)(x, state.hist.astype(x.dtype))
+        return y, FIRState(hist)
+
+
+class ShardedOverlapSaveFIR:
+    """FFT-domain overlap-save convolution sharded (channels dp) x (time sp).
+
+    Long-tap FIR where the per-shard compute is the serial
+    :class:`~simpledsp_tpu.ops.fir.OverlapSaveFIR` (batched matmul-FFT
+    frames); the cross-shard overlap is the same single ppermute halo as
+    the direct form — overlap-save IS the halo pattern (SURVEY.md §2b).
+    """
+
+    def __init__(self, taps: np.ndarray, mesh: Mesh, block_size: int = 1024,
+                 dtype=jnp.float32):
+        from simpledsp_tpu.ops.fir import OverlapSaveFIR
+        self.os = OverlapSaveFIR(taps, block_size=block_size, dtype=dtype)
+        self.mesh = mesh
+        self.n_seq = mesh.shape[SEQ_AXIS]
+        self.dtype = dtype
+        self._jit_cache = {}
+
+    def _local(self, xl: jnp.ndarray, carried: jnp.ndarray):
+        xp = halo_exchange(xl, self.os.hist_len, carried)
+        y = self.os._run(xp)
+        return y, _replicated_tail(xp, self.os.hist_len)
+
+    def _build(self, c: int, t: int):
+        key = (c, t)
+        if key not in self._jit_cache:
+            fn = jax.shard_map(
+                self._local, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
+                out_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
+            )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def __call__(self, x: jnp.ndarray,
+                 state: Optional[FIRState] = None
+                 ) -> Tuple[jnp.ndarray, FIRState]:
+        if x.ndim != 2:
+            raise ValueError("ShardedOverlapSaveFIR expects x of shape (C, T)")
+        c, t = x.shape
+        t_local = t // self.n_seq
+        if t_local * self.n_seq != t or t_local % self.os.block_size != 0:
+            raise ValueError(
+                f"T={t} must split into sp={self.n_seq} shards with local "
+                f"length a multiple of block={self.os.block_size}")
+        if state is None:
+            state = fir_init(self.os.hist_len, (c,), dtype=self.dtype)
+        y, hist = self._build(c, t)(x.astype(self.dtype), state.hist)
         return y, FIRState(hist)

@@ -165,3 +165,23 @@ class TestFMReceiverBank:
         np.testing.assert_allclose(
             np.asarray(jnp.concatenate([y1, y2], axis=-1)),
             np.asarray(y_whole), atol=1e-12)
+
+
+class TestAMReceiverBank:
+    def test_am_station_recovery(self):
+        from simpledsp_tpu.models.sdr import AMReceiverBank
+        fs, m, decim = 256e3, 8, 2
+        rx = AMReceiverBank(m, fs, decim=decim, remove_dc=False,
+                            dtype=jnp.float64)
+        T = 1 << 14
+        t = np.arange(T) / fs
+        ftone = 500.0
+        env = 1.0 + 0.5 * np.cos(2 * np.pi * ftone * t)
+        x = (env * np.exp(2j * np.pi * (2 * fs / m) * t))[None, :]
+        audio, _ = rx(x)
+        a = np.asarray(audio)[0, 2][100:]
+        arate = fs / m / decim
+        spec = np.abs(np.fft.rfft((a - a.mean()) * np.hanning(a.size)))
+        peak = np.fft.rfftfreq(a.size, 1 / arate)[np.argmax(spec)]
+        assert abs(peak - ftone) < 3 * arate / a.size
+        assert abs(a.mean() - 1.0) < 0.05   # carrier level preserved

@@ -147,3 +147,28 @@ class TestShardedChannelizer:
         y_blocks = jnp.concatenate([y1, y2], axis=-2)
         np.testing.assert_allclose(np.asarray(y_blocks), np.asarray(y_whole),
                                    atol=1e-10)
+
+
+class TestShardedOverlapSave:
+    def test_matches_serial_lfilter(self, mesh18, rng):
+        from simpledsp_tpu.parallel import ShardedOverlapSaveFIR
+        taps = lowpass_taps(129, 0.1, fs=1.0)
+        x = rng.standard_normal((2, 4096))
+        f = ShardedOverlapSaveFIR(taps, mesh18, block_size=256,
+                                  dtype=jnp.float64)
+        y, _ = f(jnp.asarray(x))
+        y_ref = sig.lfilter(taps, [1.0], x, axis=-1)
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-10)
+
+    def test_streaming_across_calls(self, mesh18, rng):
+        from simpledsp_tpu.parallel import ShardedOverlapSaveFIR
+        taps = lowpass_taps(65, 0.2, fs=1.0)
+        x = rng.standard_normal((1, 8192))
+        f = ShardedOverlapSaveFIR(taps, mesh18, block_size=256,
+                                  dtype=jnp.float64)
+        y_whole, _ = f(jnp.asarray(x))
+        y1, s = f(jnp.asarray(x[:, :4096]))
+        y2, _ = f(jnp.asarray(x[:, 4096:]), s)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate([y1, y2], axis=-1)),
+            np.asarray(y_whole), atol=1e-11)

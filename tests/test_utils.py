@@ -139,3 +139,25 @@ class TestCheckpoint:
         save_state(tmp_path / "s.npz", iir_init(4, ()))
         with pytest.raises(ValueError):
             load_state(tmp_path / "s.npz", (iir_init(4, ()), iir_init(4, ())))
+
+
+class TestDebug:
+    def test_assert_stable_accepts_good_design(self):
+        from simpledsp_tpu.design.biquad import design_lowpass
+        from simpledsp_tpu.utils.debug import assert_stable, pole_radii
+        d = design_lowpass(4, 2000.0, 39000.0)
+        assert_stable(d)
+        assert (pole_radii(d) < 1.0).all()
+
+    def test_checked_catches_nan(self):
+        import jax.numpy as jnp
+        from jax.experimental import checkify
+        from simpledsp_tpu.utils.debug import checked
+
+        def bad(x):
+            return jnp.log(x)  # NaN for negative input
+
+        f = checked(bad)
+        f(jnp.asarray([1.0, 2.0]))  # fine
+        with pytest.raises(checkify.JaxRuntimeError):
+            f(jnp.asarray([-1.0]))
