@@ -39,7 +39,8 @@ from simpledsp_tpu.ops.iir import block_operators_f64
 
 __all__ = ["FusedNorthStarOperators", "fused_chain_frames"]
 
-_SUB = 64  # IIR sub-block size == FFT n2 (the layout-sharing trick)
+# IIR sub-block size == FFT n2 (the layout-sharing trick).  n2 is chosen
+# by _best_split as the 128-lane axis for full-bandwidth DMA.
 
 
 class FusedNorthStarOperators:
@@ -48,21 +49,21 @@ class FusedNorthStarOperators:
     def __init__(self, design: BiquadCascadeDesign, fft_size: int,
                  dtype=jnp.float32):
         split = _best_split(fft_size)
-        if split is None or split[1] != _SUB:
+        if split is None:
             raise ValueError(
-                f"fused chain needs fft_size = n1 * {_SUB} with n1 <= 128; "
+                f"fused chain needs fft_size = n1 * n2 with factors <= 128; "
                 f"got {fft_size}")
         self.n1, self.n2 = split
         self.fft_size = fft_size
         self.design = design
         npdt = np.dtype(dtype)
 
-        H, Phi, K, F64, *_ = block_operators_f64(design, _SUB)
+        H, Phi, K, F64, *_ = block_operators_f64(design, self.n2)
         D = F64.shape[0]
         self.state_dim = D
         nb = self.n1  # sub-blocks per frame
 
-        # Powers of the 64-sample transition.
+        # Powers of the n2-sample transition.
         pw = np.empty((nb + 1, D, D))
         pw[0] = np.eye(D)
         for i in range(1, nb + 1):
@@ -84,9 +85,9 @@ class FusedNorthStarOperators:
                     U[p, j] = pw[p - 1 - (j - 1)]
         self.U2 = U.transpose(0, 2, 1, 3).reshape(nb * D, nb * D).astype(npdt)
 
-        self.H = H.astype(npdt)          # (64, 64) lower-tri Toeplitz
-        self.Phi = Phi.astype(npdt)      # (64, D)
-        self.K = K.astype(npdt)          # (D, 64)
+        self.H = H.astype(npdt)          # (n2, n2) lower-tri Toeplitz
+        self.Phi = Phi.astype(npdt)      # (n2, D)
+        self.K = K.astype(npdt)          # (D, n2)
         self.dtype = dtype
 
 
@@ -119,21 +120,43 @@ def _make_fused_kernel(precision):
             return dot
 
         dot_lane = make_dot(2)   # contract the minor (lane) axis
-        dot_mid = make_dot(1)    # contract the middle axis (FFT steps)
+        dot1 = make_dot(1)       # step 1: table lhs, contract middle axis
 
-        # --- IIR block conv, entirely in VMEM -------------------------
+        # --- IIR block conv, entirely in VMEM (lane = n2 = 128) --------
         # y[r, blk, i] = sum_j H[i, j] x[r, blk, j] + sum_d Phi[i, d] s[r, blk, d]
         y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
 
-        # --- four-step FFT of real frames y (r, n1, n2) ---------------
-        c_r = dot_mid(y, w1c_ref[:])          # (r, n2, k1)
-        s_r = dot_mid(y, w1s_ref[:])
-        tr = c_r * tc_ref[:] - s_r * ts_ref[:]
-        ti = s_r * tc_ref[:] + c_r * ts_ref[:]
-        yr2 = dot_mid(tr, w2c_ref[:]) - dot_mid(ti, w2s_ref[:])
-        yi2 = dot_mid(ti, w2c_ref[:]) + dot_mid(tr, w2s_ref[:])
-        yr_ref[:] = jnp.swapaxes(yr2, 1, 2)
-        yi_ref[:] = jnp.swapaxes(yi2, 1, 2)
+        # --- four-step FFT, all intermediates 128-lane -----------------
+        # step 1: W1 (k1, n1) x y (r, n1, n2) contract n1 -> (k1, r, n2)
+        raw1 = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype,
+            precision=(jax.lax.Precision.DEFAULT if use_split
+                       else jax.lax.Precision.HIGHEST))
+        if use_split:
+            def split(a):
+                hi = a.astype(jnp.bfloat16)
+                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
+                return hi, lo
+
+            def dot1f(a, b):
+                a_hi, a_lo = split(a)
+                b_hi, b_lo = split(b)
+                return (raw1(a_hi, b_hi) + raw1(a_lo, b_hi)
+                        + raw1(a_hi, b_lo))
+        else:
+            dot1f = raw1
+        c_r = dot1f(w1c_ref[:], y)
+        s_r = dot1f(w1s_ref[:], y)
+        # step 2: twiddle T (k1, n2), broadcast over frames (middle axis).
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        # step 3: contract n2 (lane) -> (k1, r, k2); bin reorder on host.
+        yr_ref[:] = dot_lane(tr, w2c_ref[:]) - dot_lane(ti, w2s_ref[:])
+        yi_ref[:] = dot_lane(ti, w2c_ref[:]) + dot_lane(tr, w2s_ref[:])
 
     return body
 
@@ -186,6 +209,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     s3 = starts.reshape(f_total, n1, D)
 
     max_r = max(1, (13 << 20) // (32 * N * np.dtype(dtype).itemsize))
+    max_r = 1 << (max_r.bit_length() - 1)  # power of two for divisibility
     r = min(frames_per_tile, max_r)
     while f_total % r != 0:
         r //= 2
@@ -196,13 +220,13 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     # dot_lane contracts b's axis 1 (the "in" index), so H (out, in) and
     # Phi (out, D) are passed as-is.
     tables = (ops.H, ops.Phi) + tuple(
-        np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc, ts))
+        np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc.T, ts.T))
 
     in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     s_blk = pl.BlockSpec((r, n1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((r, n2, n1), lambda i: (i, 0, 0),
+    out_blk = pl.BlockSpec((n1, r, n2), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
 
     def const_spec(a):
@@ -215,12 +239,16 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         grid=(f_total // r,),
         in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
         out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((f_total, n2, n1), dtype),
-                   jax.ShapeDtypeStruct((f_total, n2, n1), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((n1, f_total, n2), dtype),
+                   jax.ShapeDtypeStruct((n1, f_total, n2), dtype)),
         cost_estimate=pl.CostEstimate(
-            flops=int(8 * N * (n1 + n2 + _SUB) * f_total),
+            flops=int(8 * N * (n1 + 2 * n2) * f_total),
             bytes_accessed=3 * f_total * N * np.dtype(dtype).itemsize,
             transcendentals=0),
         interpret=interpret,
     )(x3, s3, *tables)
-    return ((yr.reshape(c, nf, N), yi.reshape(c, nf, N)), s_fin)
+    # Bin reorder (k1, f, k2) -> (f, k2, k1) == k = k1 + n1 k2, via one
+    # XLA transpose at near-roofline bandwidth.
+    yr = yr.transpose(1, 2, 0).reshape(c, nf, N)
+    yi = yi.transpose(1, 2, 0).reshape(c, nf, N)
+    return ((yr, yi), s_fin)

@@ -43,11 +43,16 @@ __all__ = ["fft_frames_ri", "rfft_frames", "pallas_fft_supported"]
 
 
 def _best_split(n: int) -> Optional[Tuple[int, int]]:
-    d = int(np.sqrt(n))
-    while d > 1:
-        if n % d == 0 and d <= 128 and n // d <= 128:
-            return d, n // d
-        d -= 1
+    """Factor n = n1 * n2 with n2 as LARGE as possible (<= 128).
+
+    n2 is the lane dimension of the input/output blocks; lanes below 128
+    waste most of the HBM<->VMEM DMA bandwidth (measured: 64-lane blocks
+    move ~133 GB/s vs ~750 GB/s at 128 lanes on v5e), so DMA efficiency
+    trumps matmul squareness.
+    """
+    for n2 in range(min(n, 128), 0, -1):
+        if n % n2 == 0 and n // n2 <= 128:
+            return n // n2, n2
     return None
 
 
@@ -77,7 +82,11 @@ def _make_kernel(real_input: bool, precision=None):
     # split-bf16 scheme instead: a = hi(a) + lo(a) with hi = bf16(a),
     # lo = bf16(a - hi), then  a.b ~ hi_a.hi_b + lo_a.hi_b + hi_a.lo_b —
     # each a single-pass bf16 dot with f32 accumulation (~1e-5 rel,
-    # ~96 dB SNR, twice the HIGHEST throughput).
+    # ~96 dB SNR, roughly twice the HIGHEST throughput).
+    #
+    # Layout: every intermediate keeps n2 (128) as the LANE axis —
+    # (k1, r, n2) after step 1, (k1, r, k2) after step 3 — because lanes
+    # below 128 waste VPU width and HBM DMA bandwidth.
     use_split = precision == jax.lax.Precision.HIGH
 
     def body(*refs):
@@ -88,53 +97,52 @@ def _make_kernel(real_input: bool, precision=None):
         else:
             (xr_ref, xi_ref, w1c_ref, w1s_ref, w2c_ref, w2s_ref, tc_ref,
              ts_ref, yr_ref, yi_ref) = refs
+        dtype = xr_ref.dtype
 
-        # Contract axis 1 of (r, n1, n2) with axis 1 of (k, n) -> (r, n2, k).
-        dot_raw = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=xr_ref.dtype,
-            precision=(jax.lax.Precision.DEFAULT if use_split
-                       else jax.lax.Precision.HIGHEST))
+        def make_dot(dims):
+            raw = functools.partial(
+                jax.lax.dot_general, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=dtype,
+                precision=(jax.lax.Precision.DEFAULT if use_split
+                           else jax.lax.Precision.HIGHEST))
+            if not use_split:
+                return raw
 
-        if use_split:
             def split(a):
                 hi = a.astype(jnp.bfloat16)
-                lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
                 return hi, lo
 
-            def dot_mid(a, b):
+            def dot(a, b):
                 a_hi, a_lo = split(a)
                 b_hi, b_lo = split(b)
-                return (dot_raw(a_hi, b_hi) + dot_raw(a_lo, b_hi)
-                        + dot_raw(a_hi, b_lo))
-        else:
-            dot_mid = dot_raw
+                return raw(a_hi, b_hi) + raw(a_lo, b_hi) + raw(a_hi, b_lo)
+            return dot
 
-        # Step 1: DFT along n1.  W1 = W1c + i W1s;  y1 = W1 . (xr + i xi)
+        # step 1: W1 (k1, n1) x (r, n1, n2) contracting n1 -> (k1, r, n2)
+        dot1 = make_dot(((1,), (1,)))
+        # step 3: (k1, r, n2) x W2 (k2, n2) contracting n2 -> (k1, r, k2)
+        dot3 = make_dot(((2,), (1,)))
+
         xr = xr_ref[:]
-        c_r = dot_mid(xr, w1c_ref[:])          # (r, n2, k1)
-        s_r = dot_mid(xr, w1s_ref[:])
+        c_r = dot1(w1c_ref[:], xr)
+        s_r = dot1(w1s_ref[:], xr)
         if real_input:
             yr1, yi1 = c_r, s_r
         else:
             xi = xi_ref[:]
-            yr1 = c_r - dot_mid(xi, w1s_ref[:])
-            yi1 = dot_mid(xi, w1c_ref[:]) + s_r
+            yr1 = c_r - dot1(w1s_ref[:], xi)
+            yi1 = dot1(w1c_ref[:], xi) + s_r
 
-        # Step 2: twiddle T' (n2, k1) broadcast over frames (VPU).
-        T_c = tc_ref[:]
-        T_s = ts_ref[:]
+        # step 2: twiddle T (k1, n2) broadcast over the frame (middle) axis.
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
         tr = yr1 * T_c - yi1 * T_s
         ti = yi1 * T_c + yr1 * T_s
 
-        # Step 3: DFT along n2 (axis 1 of (r, n2, k1)) -> (r, k1, k2).
-        yr2 = dot_mid(tr, w2c_ref[:]) - dot_mid(ti, w2s_ref[:])
-        yi2 = dot_mid(ti, w2c_ref[:]) + dot_mid(tr, w2s_ref[:])
-
-        # Step 4: y[k1 + n1 k2] -> (k2, k1) frame layout, in VMEM.
-        yr_ref[:] = jnp.swapaxes(yr2, 1, 2)
-        yi_ref[:] = jnp.swapaxes(yi2, 1, 2)
+        # step 3 -> (k1, r, k2); emitted as-is (bin reorder on the host).
+        yr_ref[:] = dot3(tr, w2c_ref[:]) - dot3(ti, w2s_ref[:])
+        yi_ref[:] = dot3(ti, w2c_ref[:]) + dot3(tr, w2s_ref[:])
 
     return body
 
@@ -148,8 +156,10 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
     if split is None:
         raise ValueError(f"size {n} not supported by the fused kernel")
     # VMEM budget: multi-pass f32 matmuls keep ~32 live (r, n) planes of
-    # scratch; stay under ~13 MB of the 16 MB VMEM.
+    # scratch; stay under ~13 MB of the 16 MB VMEM.  Power-of-two cap so
+    # the divisibility fallback below stays effective.
     max_r = max(1, (13 << 20) // (32 * n * xr.dtype.itemsize))
+    max_r = 1 << (max_r.bit_length() - 1)
     r = min(frames_per_tile, max_r)
     while f % r != 0:  # degrade tile if frame count isn't divisible
         r //= 2
@@ -168,7 +178,8 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
     grid = (f // r,)
     in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((r, n2, n1), lambda i: (i, 0, 0),
+    # Output in (k1, frames, k2) layout: lane axis k2 = n2 (128-wide DMA).
+    out_blk = pl.BlockSpec((n1, r, n2), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
 
     def const_spec(a):
@@ -178,7 +189,9 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
     # numpy (host) constants: they embed into the HLO directly at trace
     # time — a jnp array here would force a device->host fetch during
     # tracing (slow, and unsupported for some dtypes on this runtime).
-    tables = tuple(np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc, ts))
+    # twiddles enter in (n1, n2) orientation for the (k1, r, n2) layout.
+    tables = tuple(np.ascontiguousarray(a) for a in
+                   (w1c, w1s, w2c, w2s, tc.T, ts.T))
     in_specs = ([in_blk] if real_input else [in_blk, in_blk]) + [
         const_spec(a) for a in tables]
 
@@ -188,16 +201,18 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
         grid=grid,
         in_specs=in_specs,
         out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((f, n2, n1), xr.dtype),
-                   jax.ShapeDtypeStruct((f, n2, n1), xr.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((n1, f, n2), xr.dtype),
+                   jax.ShapeDtypeStruct((n1, f, n2), xr.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per * f),
             bytes_accessed=(2 if real_input else 3) * f * n * xr.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(*args + tables)
-    yr = yr.reshape(f, n)
-    yi = yi.reshape(f, n)
+    # Digit-reversal reorder (k1, f, k2) -> (f, k2, k1) == bin order
+    # k = k1 + n1 k2: one XLA transpose at near-roofline bandwidth.
+    yr = yr.transpose(1, 2, 0).reshape(f, n)
+    yi = yi.transpose(1, 2, 0).reshape(f, n)
     if inverse:
         s = jnp.asarray(1.0 / n, dtype=xr.dtype)
         return yr * s, yi * s

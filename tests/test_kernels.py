@@ -123,8 +123,11 @@ class TestFusedChain:
         np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_all),
                                    atol=1e-12)
 
-    def test_rejects_bad_fft_size(self):
+    def test_rejects_unsupported_fft_size(self):
         from simpledsp_tpu.kernels.chain import FusedNorthStarOperators
         from simpledsp_tpu.models.northstar import default_design
         with pytest.raises(ValueError):
-            FusedNorthStarOperators(default_design(), 1000)
+            FusedNorthStarOperators(default_design(), 32768)  # no <=128 split
+        # non-power-of-two sizes with a <=128 split ARE supported (1000=8*125)
+        ops = FusedNorthStarOperators(default_design(), 1000)
+        assert (ops.n1, ops.n2) == (8, 125)
