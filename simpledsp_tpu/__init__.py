@@ -16,12 +16,25 @@ Layering (bottom-up):
 from simpledsp_tpu.design.biquad import (
     BiquadCascadeDesign,
     FilterType,
+    bp_cutoff_freqs,
     design_bandpass,
     design_bandstop,
     design_highpass,
     design_lowpass,
 )
-from simpledsp_tpu.ops.fft import fft, fft_radix2, fft_radix4, ifft
+from simpledsp_tpu.design.fir import (
+    lowpass_taps,
+    pfb_prototype_taps,
+    resampler_taps,
+)
+from simpledsp_tpu.ops.fft import (
+    fft,
+    fft_radix2,
+    fft_radix4,
+    fft_ri,
+    ifft,
+    ifft_ri,
+)
 from simpledsp_tpu.ops.iir import (
     BlockIIR,
     CascadeCoeffs,
@@ -31,6 +44,24 @@ from simpledsp_tpu.ops.iir import (
     iir_preload,
     sosfilt,
     sosfilt_scan,
+)
+from simpledsp_tpu.ops.fir import (
+    FIRFilter,
+    FIRState,
+    OverlapSaveFIR,
+    PolyphaseDecimator,
+    PolyphaseInterpolator,
+    PolyphaseResampler,
+    fir_filter,
+)
+from simpledsp_tpu.ops.channelizer import PFBChannelizer
+from simpledsp_tpu.ops.demod import (
+    am_demod,
+    am_demod_ri,
+    fm_demod,
+    fm_demod_ri,
+    nco_mix,
+    nco_mix_ri,
 )
 
 __version__ = "0.1.0"

@@ -208,7 +208,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     x3 = xsub.reshape(f_total, n1, n2)
     s3 = starts.reshape(f_total, n1, D)
 
-    max_r = max(1, (13 << 20) // (32 * N * np.dtype(dtype).itemsize))
+    max_r = max(1, (13 << 20) // (20 * N * np.dtype(dtype).itemsize))
     max_r = 1 << (max_r.bit_length() - 1)  # power of two for divisibility
     r = min(frames_per_tile, max_r)
     while f_total % r != 0:

@@ -158,7 +158,7 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
     # VMEM budget: multi-pass f32 matmuls keep ~32 live (r, n) planes of
     # scratch; stay under ~13 MB of the 16 MB VMEM.  Power-of-two cap so
     # the divisibility fallback below stays effective.
-    max_r = max(1, (13 << 20) // (32 * n * xr.dtype.itemsize))
+    max_r = max(1, (13 << 20) // (20 * n * xr.dtype.itemsize))
     max_r = 1 << (max_r.bit_length() - 1)
     r = min(frames_per_tile, max_r)
     while f % r != 0:  # degrade tile if frame count isn't divisible

@@ -179,25 +179,42 @@ class OverlapSaveFIR:
         self.num_taps = L
         self.hist_len = L - 1
         self.block_size = int(block_size)
-        self.nfft = self.block_size + L - 1
+        # FFT window rounded UP to a power of two: arbitrary nfft values
+        # (block + L - 1) factor badly and compile/run far slower on TPU.
+        n = 1
+        while n < self.block_size + L - 1:
+            n <<= 1
+        self.nfft = n
         self.dtype = dtype
-        # Tap spectrum at trace time, float64 host FFT.
+        # Tap spectrum at trace time, float64 host FFT (numpy constants).
         H = np.fft.fft(taps, self.nfft)
-        self._Hr = jnp.asarray(H.real, dtype=dtype)
-        self._Hi = jnp.asarray(H.imag, dtype=dtype)
+        self._Hr = H.real.astype(np.dtype(dtype))
+        self._Hi = H.imag.astype(np.dtype(dtype))
         self._jit = jax.jit(self._run)
 
     def _run(self, xp: jnp.ndarray):
         B, L, N = self.block_size, self.num_taps, self.nfft
         T = xp.shape[-1] - (L - 1)
         S = T // B
+        # Each frame holds exactly its L-1+B real samples, zero-padded to
+        # the power-of-two nfft — every frame's padding is zeros regardless
+        # of how the stream was split, keeping streaming BIT-exact.
+        W = L - 1 + B
         starts = np.arange(S) * B
-        idx = jnp.asarray(starts[:, None] + np.arange(N)[None, :])
-        frames = jnp.take(xp, idx, axis=-1)  # (..., S, N)
-        spec = _fft.fft(frames.astype(self.dtype))
-        prod = spec * jax.lax.complex(self._Hr, self._Hi)
-        y = jnp.real(_fft.ifft(prod)).astype(xp.dtype)
-        y = y[..., L - 1:]  # keep the valid (non-aliased) B samples per frame
+        idx = jnp.asarray(starts[:, None] + np.arange(W)[None, :])
+        frames = jnp.take(xp, idx, axis=-1)  # (..., S, W)
+        if N > W:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros(frames.shape[:-1] + (N - W,),
+                                   dtype=frames.dtype)], axis=-1)
+        # RI path: real input, complex never materializes.
+        fr, fi = _fft.fft_ri(frames.astype(self.dtype),
+                             jnp.zeros_like(frames, dtype=self.dtype))
+        pr = fr * self._Hr - fi * self._Hi
+        pi = fr * self._Hi + fi * self._Hr
+        yr, _ = _fft.ifft_ri(pr, pi)
+        # valid (non-aliased) samples per frame: [L-1, L-1+B)
+        y = yr[..., L - 1:L - 1 + B].astype(xp.dtype)
         return y.reshape(y.shape[:-2] + (S * B,))
 
     def __call__(self, x: jnp.ndarray,
