@@ -1,0 +1,169 @@
+"""Command-line SDR front end: file-based receive chains on TPU.
+
+    python -m simpledsp_tpu fm-rx  --input capture.iq --format iq16 \
+        --rate 1.024e6 --channels 16 --decim 4 --output audio.npz
+    python -m simpledsp_tpu am-rx  --input capture.iq ... --output audio.npz
+    python -m simpledsp_tpu spectra --input capture.f32 --fft 4096 \
+        --design lp:2000 --rate 39000 --output spectra.npz
+    python -m simpledsp_tpu bench
+
+Ingest runs through the native streaming runtime (ring buffer + background
+file reader + IQ converters, simpledsp_tpu/runtime); DSP runs on the
+default JAX backend (TPU when present).  Outputs are .npz files with the
+carried state included, so a follow-up run can resume the stream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _ingest_blocks(path: str, fmt: str, block_pairs: int):
+    """Yield (re, im) float32 plane blocks from an IQ capture file via the
+    native ring-buffer runtime."""
+    from simpledsp_tpu.runtime import (
+        FileSource, RingBuffer, iq16_to_planes, iqu8_to_planes)
+
+    itemsize = {"iq16": 4, "iqu8": 2, "f32": 4}[fmt]
+    ring = RingBuffer(1 << 22)
+    with FileSource(path, ring, chunk=1 << 16) as src:
+        while True:
+            raw = ring.pop_exact(block_pairs * itemsize, timeout=5.0)
+            if raw is None:
+                if src.state != src.RUNNING and ring.readable < block_pairs * itemsize:
+                    break
+                continue
+            if fmt == "iq16":
+                yield iq16_to_planes(raw.view(np.int16))
+            elif fmt == "iqu8":
+                yield iqu8_to_planes(raw)
+            else:  # real f32
+                x = raw.view(np.float32)
+                yield x, np.zeros_like(x)
+    ring.close()
+
+
+def _cmd_rx(args, mode: str) -> int:
+    import jax.numpy as jnp
+    from simpledsp_tpu.models.sdr import AMReceiverBank, FMReceiverBank
+
+    if mode == "fm":
+        rx = FMReceiverBank(args.channels, args.rate, decim=args.decim,
+                            deviation_hz=args.deviation)
+    else:
+        rx = AMReceiverBank(args.channels, args.rate, decim=args.decim)
+    block = args.channels * args.decim * args.block_frames
+    state = None
+    audio = []
+    t0 = time.time()
+    nsamp = 0
+    for re, im in _ingest_blocks(args.input, args.format, block):
+        a, state = rx((jnp.asarray(re[None, :]), jnp.asarray(im[None, :])),
+                      state)
+        audio.append(np.asarray(a[0]))
+        nsamp += re.size
+    if not audio:
+        print("no complete blocks read", file=sys.stderr)
+        return 1
+    out = np.concatenate(audio, axis=-1)  # (channels, T_audio)
+    np.savez(args.output, audio=out,
+             rate=args.rate / args.channels / args.decim,
+             channels=args.channels)
+    dt = time.time() - t0
+    print(f"{mode.upper()} rx: {nsamp} samples -> {out.shape} audio "
+          f"({nsamp/dt/1e6:.1f} Msamples/s wall)")
+    return 0
+
+
+def _cmd_spectra(args) -> int:
+    import jax.numpy as jnp
+    from simpledsp_tpu.design.biquad import (
+        design_bandpass, design_highpass, design_lowpass)
+    from simpledsp_tpu.models.northstar import NorthStarChain
+
+    kind, _, param = args.design.partition(":")
+    f0 = float(param)
+    if kind == "lp":
+        design = design_lowpass(args.order // 2, f0, args.rate)
+    elif kind == "hp":
+        design = design_highpass(args.order // 2, f0, args.rate)
+    elif kind == "bp":
+        design = design_bandpass(args.order // 2, f0, args.rate, args.q)
+    else:
+        print(f"unknown design {args.design!r} (use lp:F0|hp:F0|bp:F0)",
+              file=sys.stderr)
+        return 2
+    chain = NorthStarChain(design=design, fft_size=args.fft)
+
+    block = args.fft * args.block_frames
+    state = None
+    frames = 0
+    sr_acc = []
+    si_acc = []
+    t0 = time.time()
+    for re, _ in _ingest_blocks(args.input, "f32", block):
+        (sr, si), state = chain(jnp.asarray(re[None, :]), state)
+        sr_acc.append(np.asarray(sr[0]))
+        si_acc.append(np.asarray(si[0]))
+        frames += sr.shape[1]
+    if not sr_acc:
+        print("no complete blocks read", file=sys.stderr)
+        return 1
+    np.savez(args.output, spec_re=np.concatenate(sr_acc, axis=0),
+             spec_im=np.concatenate(si_acc, axis=0), fft=args.fft,
+             rate=args.rate)
+    dt = time.time() - t0
+    print(f"spectra: {frames} frames of {args.fft} "
+          f"({frames*args.fft/dt/1e6:.1f} Msamples/s wall)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="simpledsp_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, iq=True):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--rate", type=float, required=True)
+        sp.add_argument("--format", choices=["iq16", "iqu8", "f32"],
+                        default="iq16" if iq else "f32")
+        sp.add_argument("--block-frames", type=int, default=1024)
+
+    for mode in ("fm", "am"):
+        sp = sub.add_parser(f"{mode}-rx", help=f"{mode.upper()} receiver bank")
+        common(sp)
+        sp.add_argument("--channels", type=int, default=16)
+        sp.add_argument("--decim", type=int, default=4)
+        if mode == "fm":
+            sp.add_argument("--deviation", type=float, default=75e3)
+
+    sp = sub.add_parser("spectra", help="IIR -> framed FFT chain")
+    common(sp, iq=False)
+    sp.add_argument("--fft", type=int, default=4096)
+    sp.add_argument("--design", default="lp:2000")
+    sp.add_argument("--order", type=int, default=8)
+    sp.add_argument("--q", type=float, default=1.0)
+
+    sub.add_parser("bench", help="run the headline benchmark")
+
+    args = p.parse_args(argv)
+    if args.cmd == "fm-rx":
+        return _cmd_rx(args, "fm")
+    if args.cmd == "am-rx":
+        return _cmd_rx(args, "am")
+    if args.cmd == "spectra":
+        return _cmd_spectra(args)
+    if args.cmd == "bench":
+        import bench
+        bench.main()
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,8 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fft", "ifft", "fft_ri", "ifft_ri", "fft_radix2", "fft_radix4",
-           "dft_matrix"]
+__all__ = ["fft", "ifft", "rfft", "irfft", "fft_ri", "ifft_ri",
+           "fft_radix2", "fft_radix4", "dft_matrix"]
 
 # Largest size computed as one dense DFT matmul.  128 keeps the operand a
 # (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
@@ -226,3 +226,23 @@ def fft_radix4(x: jnp.ndarray, *, inverse: bool = False, dtype=None) -> jnp.ndar
     if not _is_power_of(x.shape[-1], 4):
         raise ValueError(f"fft_radix4 requires power-of-4 size, got {x.shape[-1]}")
     return ifft(x, dtype=dtype) if inverse else fft(x, dtype=dtype)
+
+
+def rfft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """FFT of real input returning the N//2+1 non-negative-frequency bins
+    (numpy.fft.rfft semantics).  Computed via the full transform — the
+    batched four-step engine is already real-matmul — and sliced; complex
+    output dtype follows :func:`fft`."""
+    full = fft(x, dtype=dtype)
+    return full[..., : x.shape[-1] // 2 + 1]
+
+
+def irfft(x: jnp.ndarray, n: Optional[int] = None, *,
+          dtype=None) -> jnp.ndarray:
+    """Inverse of :func:`rfft`: reconstruct the Hermitian-symmetric full
+    spectrum and return the length-n real signal."""
+    if n is None:
+        n = 2 * (x.shape[-1] - 1)
+    tail = jnp.conj(x[..., 1: n - x.shape[-1] + 1][..., ::-1])
+    full = jnp.concatenate([x, tail], axis=-1)
+    return jnp.real(ifft(full, dtype=dtype))

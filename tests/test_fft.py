@@ -121,3 +121,13 @@ def test_f32_snr(n):
     err = ours - ref
     snr_db = 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(np.abs(err) ** 2))
     assert snr_db > 120.0, f"SNR {snr_db:.1f} dB"
+
+
+def test_rfft_irfft_roundtrip(rng):
+    from simpledsp_tpu.ops.fft import irfft, rfft
+    x = rng.standard_normal((3, 1024))
+    half = rfft(jnp.asarray(x))
+    assert half.shape == (3, 513)
+    np.testing.assert_allclose(np.asarray(half), np.fft.rfft(x), atol=1e-10)
+    back = irfft(half)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-12)
