@@ -92,35 +92,27 @@ class FusedNorthStarOperators:
 
 
 def _make_fused_kernel(precision):
-    use_split = precision == jax.lax.Precision.HIGH
+    # See kernels/fft.py _make_kernel: in-kernel dots run at HIGHEST unless
+    # DEFAULT is explicitly requested (split-bf16 measured slower on v5e).
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
 
     def body(x_ref, s_ref, h_ref, phi_ref, w1c_ref, w1s_ref, w2c_ref,
              w2s_ref, tc_ref, ts_ref, yr_ref, yi_ref):
         dtype = x_ref.dtype
 
         def make_dot(contract_axis):
-            raw = functools.partial(
+            return functools.partial(
                 jax.lax.dot_general,
                 dimension_numbers=(((contract_axis,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=(jax.lax.Precision.DEFAULT if use_split
-                           else jax.lax.Precision.HIGHEST))
-            if not use_split:
-                return raw
-
-            def split(a):
-                hi = a.astype(jnp.bfloat16)
-                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
-                return hi, lo
-
-            def dot(a, b):
-                a_hi, a_lo = split(a)
-                b_hi, b_lo = split(b)
-                return raw(a_hi, b_hi) + raw(a_lo, b_hi) + raw(a_hi, b_lo)
-            return dot
+                preferred_element_type=dtype, precision=prec)
 
         dot_lane = make_dot(2)   # contract the minor (lane) axis
-        dot1 = make_dot(1)       # step 1: table lhs, contract middle axis
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
 
         # --- IIR block conv, entirely in VMEM (lane = n2 = 128) --------
         # y[r, blk, i] = sum_j H[i, j] x[r, blk, j] + sum_d Phi[i, d] s[r, blk, d]
@@ -128,25 +120,6 @@ def _make_fused_kernel(precision):
 
         # --- four-step FFT, all intermediates 128-lane -----------------
         # step 1: W1 (k1, n1) x y (r, n1, n2) contract n1 -> (k1, r, n2)
-        raw1 = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=((((1,), (1,))), ((), ())),
-            preferred_element_type=dtype,
-            precision=(jax.lax.Precision.DEFAULT if use_split
-                       else jax.lax.Precision.HIGHEST))
-        if use_split:
-            def split(a):
-                hi = a.astype(jnp.bfloat16)
-                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
-                return hi, lo
-
-            def dot1f(a, b):
-                a_hi, a_lo = split(a)
-                b_hi, b_lo = split(b)
-                return (raw1(a_hi, b_hi) + raw1(a_lo, b_hi)
-                        + raw1(a_hi, b_lo))
-        else:
-            dot1f = raw1
         c_r = dot1f(w1c_ref[:], y)
         s_r = dot1f(w1s_ref[:], y)
         # step 2: twiddle T (k1, n2), broadcast over frames (middle axis).
@@ -169,7 +142,9 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     Args:
       x: (C, T) real input, T a multiple of fft_size.
       s0: (C, D) flat incoming state.
-    Returns ((spec_re, spec_im) each (C, F, fft_size), s_final (C, D)).
+    Returns ((spec_re, spec_im) each (C, F, n2, n1), s_final (C, D)).
+    The spectra's last two axes flatten (freely, outside jit) to the
+    natural bin order: reshape(C, F, fft_size).
     """
     c, t = x.shape
     n1, n2, N = ops.n1, ops.n2, ops.fft_size
@@ -247,8 +222,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
             transcendentals=0),
         interpret=interpret,
     )(x3, s3, *tables)
-    # Bin reorder (k1, f, k2) -> (f, k2, k1) == k = k1 + n1 k2, via one
-    # XLA transpose at near-roofline bandwidth.
-    yr = yr.transpose(1, 2, 0).reshape(c, nf, N)
-    yi = yi.transpose(1, 2, 0).reshape(c, nf, N)
+    # Bin reorder (k1, f, k2) -> (f, k2, k1): ONE XLA transpose.  The
+    # result is returned as (C, F, n2, n1) whose standard row-major layout
+    # already holds bins in natural order k = k1 + n1 k2 — flattening the
+    # last two axes OUTSIDE jit is a free metadata reshape, whereas fusing
+    # the flatten here makes XLA materialize a second 268 MB copy per
+    # plane (measured).
+    yr = jax.lax.transpose(yr, (1, 2, 0)).reshape(c, nf, n2, n1)
+    yi = jax.lax.transpose(yi, (1, 2, 0)).reshape(c, nf, n2, n1)
     return ((yr, yi), s_fin)

@@ -77,17 +77,15 @@ def _consts(n: int, inverse: bool, dtype_name: str):
 
 
 def _make_kernel(real_input: bool, precision=None):
-    # Mosaic's dot lowering supports only DEFAULT/HIGHEST.  HIGHEST costs 6
-    # bf16 passes on the MXU; for the HIGH tier we hand-roll the 3-pass
-    # split-bf16 scheme instead: a = hi(a) + lo(a) with hi = bf16(a),
-    # lo = bf16(a - hi), then  a.b ~ hi_a.hi_b + lo_a.hi_b + hi_a.lo_b —
-    # each a single-pass bf16 dot with f32 accumulation (~1e-5 rel,
-    # ~96 dB SNR, roughly twice the HIGHEST throughput).
-    #
-    # Layout: every intermediate keeps n2 (128) as the LANE axis —
-    # (k1, r, n2) after step 1, (k1, r, k2) after step 3 — because lanes
-    # below 128 waste VPU width and HBM DMA bandwidth.
-    use_split = precision == jax.lax.Precision.HIGH
+    # In-kernel dot precision: HIGHEST (6-pass bf16, true-f32, ~140 dB)
+    # unless DEFAULT is explicitly requested (1-pass bf16, ~54 dB, ~3x
+    # faster — for callers that do not care about accuracy).  A hand-rolled
+    # 3-pass split-bf16 scheme was tried for the HIGH tier and measured
+    # SLOWER than native HIGHEST on v5e (the VPU hi/lo splits and tripled
+    # dot count cost more than the saved MXU passes), so HIGH maps up.
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
 
     def body(*refs):
         if real_input:
@@ -100,24 +98,9 @@ def _make_kernel(real_input: bool, precision=None):
         dtype = xr_ref.dtype
 
         def make_dot(dims):
-            raw = functools.partial(
+            return functools.partial(
                 jax.lax.dot_general, dimension_numbers=(dims, ((), ())),
-                preferred_element_type=dtype,
-                precision=(jax.lax.Precision.DEFAULT if use_split
-                           else jax.lax.Precision.HIGHEST))
-            if not use_split:
-                return raw
-
-            def split(a):
-                hi = a.astype(jnp.bfloat16)
-                lo = (a - hi.astype(dtype)).astype(jnp.bfloat16)
-                return hi, lo
-
-            def dot(a, b):
-                a_hi, a_lo = split(a)
-                b_hi, b_lo = split(b)
-                return raw(a_hi, b_hi) + raw(a_lo, b_hi) + raw(a_hi, b_lo)
-            return dot
+                preferred_element_type=dtype, precision=prec)
 
         # step 1: W1 (k1, n1) x (r, n1, n2) contracting n1 -> (k1, r, n2)
         dot1 = make_dot(((1,), (1,)))

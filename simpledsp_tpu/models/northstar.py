@@ -103,8 +103,11 @@ class NorthStarChain:
         if state is None:
             state = iir_init(m, (c,), dtype=self.dtype)
         s0 = state.y_hist.reshape(c, -1)
-        spectra, s_fin = self._jit(x.astype(self.dtype), s0)
-        return spectra, IIRState(s_fin.reshape(c, m + 1, 2))
+        (sr, si), s_fin = self._jit(x.astype(self.dtype), s0)
+        if sr.ndim == 4:   # fused path: free flatten to natural bin order
+            sr = sr.reshape(c, -1, self.fft_size)
+            si = si.reshape(c, -1, self.fft_size)
+        return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))
 
 
 class ShardedNorthStarChain:

@@ -98,6 +98,8 @@ class TestFusedChain:
         s0 = jnp.zeros((2, ops.state_dim), jnp.float64)
         (sr, si), s_fin = fused_chain_frames(ops, jnp.asarray(x), s0,
                                              interpret=True)
+        sr = sr.reshape(2, -1, 4096)   # free natural-bin-order flatten
+        si = si.reshape(2, -1, 4096)
         y64 = sig.sosfilt(sos_matrix(design), x, axis=-1)
         ref = np.fft.fft(y64.reshape(2, -1, 4096))
         got = np.asarray(sr) + 1j * np.asarray(si)
@@ -119,7 +121,7 @@ class TestFusedChain:
                                              s_mid, interpret=True)
         np.testing.assert_allclose(
             np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
-            np.asarray(ar), atol=1e-12)
+            np.asarray(ar), atol=1e-12)  # shapes (C, F, n2, n1) throughout
         np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_all),
                                    atol=1e-12)
 
