@@ -1,0 +1,103 @@
+"""Flagship-model tests: NorthStarChain (serial + sharded) on CPU.
+
+The TPU fused-kernel path is exercised by bench.py and the examples on real
+hardware; here the jnp path is validated against the scipy+numpy oracle and
+the sharded form against the serial one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from simpledsp_tpu.design.biquad import sos_matrix
+from simpledsp_tpu.models.northstar import (
+    NorthStarChain,
+    ShardedNorthStarChain,
+    default_design,
+)
+from simpledsp_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(dp=2, sp=4)
+
+
+def _oracle_spectra(design, x):
+    y = sig.sosfilt(sos_matrix(design), np.asarray(x, np.float64), axis=-1)
+    return np.fft.fft(y.reshape(x.shape[0], -1, 4096))
+
+
+class TestNorthStarChain:
+    def test_matches_oracle_f64(self, rng):
+        chain = NorthStarChain(dtype=jnp.float64, use_pallas=False)
+        x = rng.standard_normal((2, 16384))
+        (sr, si), state = chain(jnp.asarray(x))
+        ref = _oracle_spectra(chain.design, x)
+        got = np.asarray(sr) + 1j * np.asarray(si)
+        assert got.shape == ref.shape == (2, 4, 4096)
+        assert np.abs(got - ref).max() < 1e-9
+
+    def test_streaming_state(self, rng):
+        chain = NorthStarChain(dtype=jnp.float64, use_pallas=False)
+        x = rng.standard_normal((1, 16384))
+        (ar, ai), _ = chain(jnp.asarray(x))
+        (br, bi), s = chain(jnp.asarray(x[:, :8192]))
+        (cr, ci), _ = chain(jnp.asarray(x[:, 8192:]), s)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
+            np.asarray(ar), atol=1e-10)
+
+    def test_bad_length_raises(self):
+        chain = NorthStarChain(use_pallas=False)
+        with pytest.raises(ValueError):
+            chain(jnp.zeros((1, 5000)))
+
+    def test_fused_interpret_path_matches_jnp_path(self, rng):
+        """The fused kernel (interpret) and the jnp path agree."""
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        design = default_design()
+        plain = NorthStarChain(design=design, dtype=jnp.float64,
+                               use_pallas=False)
+        ops = FusedNorthStarOperators(design, 4096, dtype=jnp.float64)
+        x = rng.standard_normal((1, 8192))
+        (ar, ai), s_a = plain(jnp.asarray(x))
+        s0 = jnp.zeros((1, ops.state_dim), jnp.float64)
+        (br, bi), s_b = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(br).reshape(1, -1, 4096),
+                                   np.asarray(ar), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_b),
+                                   np.asarray(s_a.y_hist).reshape(1, -1),
+                                   atol=1e-10)
+
+
+class TestShardedNorthStarChain:
+    def test_matches_serial(self, mesh, rng):
+        design = default_design()
+        serial = NorthStarChain(design=design, dtype=jnp.float64,
+                                use_pallas=False)
+        sharded = ShardedNorthStarChain(mesh, design=design,
+                                        dtype=jnp.float64, use_pallas=False)
+        x = rng.standard_normal((2, 4 * 16384))
+        (ar, ai), s_a = serial(jnp.asarray(x))
+        (br, bi), s_b = sharded(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_b.y_hist),
+                                   np.asarray(s_a.y_hist), atol=1e-10)
+
+    def test_streaming_sharded(self, mesh, rng):
+        sharded = ShardedNorthStarChain(mesh, dtype=jnp.float64,
+                                        use_pallas=False)
+        x = rng.standard_normal((2, 8 * 16384))
+        (ar, _), _ = sharded(jnp.asarray(x))
+        (br, _), s = sharded(jnp.asarray(x[:, :4 * 16384]))
+        (cr, _), _ = sharded(jnp.asarray(x[:, 4 * 16384:]), s)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
+            np.asarray(ar), atol=1e-10)
