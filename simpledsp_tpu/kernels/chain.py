@@ -39,6 +39,15 @@ from simpledsp_tpu.ops.iir import block_operators_f64
 
 __all__ = ["FusedNorthStarOperators", "fused_chain_frames"]
 
+
+def _vma(x):
+    """Varying-mesh-axes of a traced value (None outside shard_map) —
+    required on pallas out_shapes when called under shard_map."""
+    try:
+        return jax.typeof(x).vma or None
+    except Exception:
+        return None
+
 # IIR sub-block size == FFT n2 (the layout-sharing trick).  n2 is chosen
 # by _best_split as the 128-lane axis for full-bandwidth DMA.
 
@@ -89,6 +98,20 @@ class FusedNorthStarOperators:
         self.Phi = Phi.astype(npdt)      # (n2, D)
         self.K = K.astype(npdt)          # (D, n2)
         self.dtype = dtype
+        self._Ff64 = pw[nb]              # frame transition, float64
+
+    def shard_powers(self, frames_per_shard: int,
+                     n_shards: int) -> np.ndarray:
+        """(n_shards + 1, D, D) stack of Fs^p with Fs = Ff^{frames_per_shard}
+        in float64 — the cross-shard transition powers for the
+        sequence-parallel fused chain."""
+        Fs = np.linalg.matrix_power(self._Ff64, frames_per_shard)
+        D = Fs.shape[0]
+        out = np.empty((n_shards + 1, D, D))
+        out[0] = np.eye(D)
+        for i in range(1, n_shards + 1):
+            out[i] = Fs @ out[i - 1]
+        return out
 
 
 def _make_fused_kernel(precision):
@@ -136,12 +159,21 @@ def _make_fused_kernel(precision):
 
 def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        s0: jnp.ndarray, *, frames_per_tile: int = 16,
-                       precision=None, interpret: bool = False):
+                       precision=None, interpret: bool = False,
+                       axis_name: Optional[str] = None,
+                       shard_powers: Optional[np.ndarray] = None):
     """Run the fused chain.
 
     Args:
       x: (C, T) real input, T a multiple of fft_size.
       s0: (C, D) flat incoming state.
+      axis_name: if set, x is one TIME SHARD inside a shard_map over this
+        mesh axis; the cross-shard incoming state is resolved with ONE
+        all_gather of the tiny (C, D) input-driven states (the closed form
+        of parallel/iir.py), and s0/s_final are the GLOBAL stream states.
+      shard_powers: required with axis_name — host-precomputed
+        (n_shards + 1, D, D) stack of Fs^p, Fs = Ff^{frames_per_shard}
+        (see :meth:`FusedNorthStarOperators.shard_powers`).
     Returns ((spec_re, spec_im) each (C, F, n2, n1), s_final (C, D)).
     The spectra's last two axes flatten (freely, outside jit) to the
     natural bin order: reshape(C, F, fft_size).
@@ -168,8 +200,37 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                           preferred_element_type=dtype,
                           precision=prec_x) + k, s
 
-    s_fin, s_frames = jax.lax.scan(step, s0, kf_t)
+    if axis_name is None:
+        s_local_in = s0
+    else:
+        # Sequence-parallel: zero-init local scan gives this shard's
+        # input-driven final state; the closed form over one all_gather
+        # yields the shard's true incoming state (cf. parallel/iir.py).
+        if shard_powers is None:
+            raise ValueError("axis_name requires shard_powers")
+        apow = jnp.asarray(shard_powers, dtype=dtype)
+        n_sh = shard_powers.shape[0] - 1
+        zero = jax.lax.pcast(jnp.zeros_like(s0), axis_name, to="varying")
+        k_shard, _ = jax.lax.scan(step, zero, kf_t)
+        kall = jax.lax.all_gather(k_shard, axis_name)  # (P, C, D)
+        i = jax.lax.axis_index(axis_name)
+        j = jnp.arange(n_sh)
+        sel = jnp.clip(i - 1 - j, 0, n_sh)
+        w = jnp.where((j < i)[:, None, None], jnp.take(apow, sel, axis=0),
+                      0.0)
+        s_local_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0), s0)
+                      + jnp.einsum("jde,jce->cd", w, kall))
+
+    s_fin, s_frames = jax.lax.scan(step, s_local_in, kf_t)
     s_frames = jnp.moveaxis(s_frames, 0, 1)  # (C, F, D) frame starts
+
+    if axis_name is not None:
+        # Replicated GLOBAL final state via psum (streaming handoff).
+        own_w = jnp.take(apow, n_sh - 1 - jax.lax.axis_index(axis_name),
+                         axis=0)
+        s_fin = (jnp.einsum("de,ce->cd", apow[n_sh], s0)
+                 + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard),
+                                axis_name))
 
     # Sub-block start expansion: one (nb*D, nb*D) matmul per frame.
     v = jnp.concatenate([s_frames[:, :, None, :], kx[:, :, :n1 - 1]], axis=2)
@@ -196,6 +257,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     # Phi (out, D) are passed as-is.
     tables = (ops.H, ops.Phi) + tuple(
         np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc.T, ts.T))
+    vma = _vma(x3)
+    if vma:
+        # Under shard_map every kernel operand must carry matching varying
+        # axes; broadcast the (identical-everywhere) tables accordingly.
+        tables = tuple(jax.lax.pcast(jnp.asarray(a), tuple(vma),
+                                     to="varying") for a in tables)
 
     in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -214,8 +281,10 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         grid=(f_total // r,),
         in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
         out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((n1, f_total, n2), dtype),
-                   jax.ShapeDtypeStruct((n1, f_total, n2), dtype)),
+        out_shape=(jax.ShapeDtypeStruct((n1, f_total, n2), dtype,
+                                        vma=_vma(x3)),
+                   jax.ShapeDtypeStruct((n1, f_total, n2), dtype,
+                                        vma=_vma(x3))),
         cost_estimate=pl.CostEstimate(
             flops=int(8 * N * (n1 + 2 * n2) * f_total),
             bytes_accessed=3 * f_total * N * np.dtype(dtype).itemsize,

@@ -135,30 +135,60 @@ class ShardedNorthStarChain:
             use_pallas = (jax.default_backend() == "tpu"
                           and _kfft.pallas_fft_supported(self.fft_size))
         self.use_pallas = use_pallas
+        # Fully-fused sequence-parallel path: per-shard fused kernel + one
+        # all_gather for the cross-shard state (kernels/chain.py axis_name).
+        self._fused_ops = None
+        self._interpret = False  # tests may set True to run fused on CPU
+        if use_pallas:
+            try:
+                self._fused_ops = _kchain.FusedNorthStarOperators(
+                    self.design, self.fft_size, dtype=dtype)
+            except ValueError:
+                pass
         self._jit_cache = {}
 
     def _build(self, c: int, t: int):
         key = (c, t)
         if key not in self._jit_cache:
-            nb_local = t // self.iir.n_seq // self.iir.block_size
-            apow = self.iir._apow(nb_local)
+            n_seq = self.iir.n_seq
+            if self._fused_ops is not None:
+                nf_local = t // n_seq // self.fft_size
+                spw = self._fused_ops.shard_powers(nf_local, n_seq)
 
-            def local_fn(xl, s0):
-                y, s_fin = self.iir._local(apow, xl, s0)
-                frames = y.reshape(y.shape[0], -1, self.fft_size)
-                if self.use_pallas:
-                    sr, si = _kfft.rfft_frames(frames, frames_per_tile=32,
-                                               precision=self.precision)
-                else:
-                    sr, si = _fft.fft_ri(frames, jnp.zeros_like(frames))
-                return (sr, si), s_fin
+                def local_fn(xl, s0):
+                    return _kchain.fused_chain_frames(
+                        self._fused_ops, xl, s0, precision=self.precision,
+                        axis_name=SEQ_AXIS, shard_powers=spw,
+                        interpret=self._interpret)
+
+                spectra_spec = (P(DATA_AXIS, SEQ_AXIS, None, None),
+                                P(DATA_AXIS, SEQ_AXIS, None, None))
+            else:
+                nb_local = t // n_seq // self.iir.block_size
+                apow = self.iir._apow(nb_local)
+
+                def local_fn(xl, s0):
+                    y, s_fin = self.iir._local(apow, xl, s0)
+                    frames = y.reshape(y.shape[0], -1, self.fft_size)
+                    if self.use_pallas:
+                        sr, si = _kfft.rfft_frames(
+                            frames, frames_per_tile=32,
+                            precision=self.precision)
+                    else:
+                        sr, si = _fft.fft_ri(frames, jnp.zeros_like(frames))
+                    return (sr, si), s_fin
+
+                spectra_spec = (P(DATA_AXIS, SEQ_AXIS, None),
+                                P(DATA_AXIS, SEQ_AXIS, None))
 
             fn = jax.shard_map(
                 local_fn, mesh=self.mesh,
                 in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
-                out_specs=((P(DATA_AXIS, SEQ_AXIS, None),
-                            P(DATA_AXIS, SEQ_AXIS, None)),
-                           P(DATA_AXIS, None)),
+                out_specs=(spectra_spec, P(DATA_AXIS, None)),
+                # Pallas interpret mode (CPU tests) loses vma on its grid
+                # loop's output carries; the compiled TPU path keeps the
+                # full varying-axes check.
+                check_vma=not self._interpret,
             )
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
@@ -177,5 +207,8 @@ class ShardedNorthStarChain:
         if state is None:
             state = iir_init(m, (c,), dtype=self.dtype)
         s0 = state.y_hist.reshape(c, -1)
-        spectra, s_fin = self._build(c, t)(x.astype(self.dtype), s0)
-        return spectra, IIRState(s_fin.reshape(c, m + 1, 2))
+        (sr, si), s_fin = self._build(c, t)(x.astype(self.dtype), s0)
+        if sr.ndim == 4:   # fused path: free flatten to natural bin order
+            sr = sr.reshape(c, -1, self.fft_size)
+            si = si.reshape(c, -1, self.fft_size)
+        return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))

@@ -101,3 +101,34 @@ class TestShardedNorthStarChain:
         np.testing.assert_allclose(
             np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
             np.asarray(ar), atol=1e-10)
+
+
+class TestShardedFusedChain:
+    def test_sharded_fused_matches_serial(self, mesh, rng):
+        """The sequence-parallel FUSED kernel path (interpret mode on the
+        CPU mesh) matches the serial oracle chain."""
+        design = default_design()
+        serial = NorthStarChain(design=design, dtype=jnp.float64,
+                                use_pallas=False)
+        sharded = ShardedNorthStarChain(mesh, design=design,
+                                        dtype=jnp.float64, use_pallas=True)
+        assert sharded._fused_ops is not None
+        sharded._interpret = True
+        x = rng.standard_normal((2, 4 * 16384))
+        (ar, ai), s_a = serial(jnp.asarray(x))
+        (br, bi), s_b = sharded(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_b.y_hist),
+                                   np.asarray(s_a.y_hist), atol=1e-10)
+
+    def test_sharded_fused_streaming(self, mesh, rng):
+        sharded = ShardedNorthStarChain(mesh, dtype=jnp.float64,
+                                        use_pallas=True)
+        sharded._interpret = True
+        x = rng.standard_normal((2, 8 * 16384))
+        (ar, _), _ = sharded(jnp.asarray(x))
+        (br, _), s = sharded(jnp.asarray(x[:, :4 * 16384]))
+        (cr, _), _ = sharded(jnp.asarray(x[:, 4 * 16384:]), s)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
+            np.asarray(ar), atol=1e-10)
