@@ -1,0 +1,116 @@
+"""Per-op benchmarks against every BASELINE.md row (the reference's own
+Catch2 BENCHMARK workloads, scaled to TPU batch throughput).
+
+The reference benchmarks single blocks on one CPU core; TPU throughput
+comes from batch, so each op runs on a large batch with fetch-forced
+timing (see PERF.md methodology) and reports Msamples/s against the
+measured C++ single-core number.  Prints one JSON line per row.
+
+Run on the real chip: python bench_ops.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+# BASELINE.md measured reference numbers (1 Xeon core, f64 C++).
+BASE = {
+    "fft_radix2_1024": 116.0,
+    "fft_radix4_1024": 121.3,
+    "fft_radix2_4096": 90.2,
+    "fft_radix4_4096": 81.0,
+    "iir_lp_8th_order": 168.5,
+    "iir_hp_8th_order": 168.0,
+    "iir_bp_8th_order": 165.8,
+    "chain_iir8_fft4096": 47.1,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from simpledsp_tpu.design.biquad import (
+        design_bandpass, design_highpass, design_lowpass)
+    from simpledsp_tpu.kernels.fft import rfft_frames
+    from simpledsp_tpu.ops.iir import BlockIIR
+
+    rng = np.random.default_rng(0)
+    results = []
+
+    def timed(fn, *args, iters=12):
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.ravel()[:8]))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.ravel()[:8]))
+        t_loop = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(leaf.ravel()[:8]))
+        t_fetch = time.perf_counter() - t0
+        return max(t_loop - t_fetch, 1e-9) / iters
+
+    def emit(name, nsamples, dt):
+        msps = nsamples / dt / 1e6
+        rec = {"metric": name, "value": round(msps, 1), "unit": "Msamples/s",
+               "vs_baseline": round(msps / BASE[name], 1),
+               "baseline_cpp_1core": BASE[name]}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # FFT rows: batched frames of the reference's sizes (radix choice is an
+    # internal schedule in the reference; both map to the same fused kernel).
+    total = 1 << 26
+    for n in (1024, 4096):
+        x = jnp.asarray(rng.standard_normal((total // n, n)), jnp.float32)
+        fn = jax.jit(lambda a: rfft_frames(a, frames_per_tile=16))
+        dt = timed(fn, x)
+        emit(f"fft_radix2_{n}", total, dt)
+        emit(f"fft_radix4_{n}", total, dt)
+
+    # IIR rows: 8th-order (4-SOS) block-state-space, 64ch x 1M samples.
+    c, t = 64, 1 << 20
+    x = jnp.asarray(rng.standard_normal((c, t)), jnp.float32)
+    fs = 39000.0
+    for name, design in (
+            ("iir_lp_8th_order", design_lowpass(4, 2000.0, fs)),
+            ("iir_hp_8th_order", design_highpass(4, 2000.0, fs)),
+            ("iir_bp_8th_order", design_bandpass(4, 2000.0, fs, 0.8))):
+        f = BlockIIR(design, block_size=256, dtype=jnp.float32)
+        xb = x.reshape(c, -1, 256)
+        s0 = jnp.zeros((c, 10), jnp.float32)
+        dt = timed(jax.jit(f.run_blocks), xb, s0)
+        emit(name, c * t, dt)
+
+    # Chain row: delegate to bench.py's configuration.
+    from simpledsp_tpu.models.northstar import NorthStarChain
+    chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
+    s0 = jnp.zeros((c, 10), jnp.float32)
+    fwd = jax.jit(chain._forward)
+    out, s = fwd(x, s0)
+    float(jnp.sum(s))
+    iters = 16
+    s = s0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, s = fwd(x, s)
+    float(jnp.sum(s))
+    t_loop = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(s))
+    t_fetch = time.perf_counter() - t0
+    emit("chain_iir8_fft4096", c * t, (t_loop - t_fetch) / iters)
+
+    worst = min(r["vs_baseline"] for r in results)
+    print(json.dumps({"metric": "bench_ops_summary",
+                      "rows": len(results),
+                      "min_vs_baseline": worst,
+                      "all_beat_reference": worst > 1.0}))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,28 +134,47 @@ class ShardedChannelizer:
 
     def __init__(self, num_channels: int, mesh: Mesh,
                  taps: Optional[np.ndarray] = None,
-                 taps_per_channel: int = 16, dtype=jnp.float32):
+                 taps_per_channel: int = 16, dtype=jnp.float32,
+                 gather_output: bool = False):
         self.pfb = PFBChannelizer(num_channels, taps=taps,
                                   taps_per_channel=taps_per_channel,
                                   dtype=dtype)
         self.mesh = mesh
         self.n_seq = mesh.shape[SEQ_AXIS]
         self.dtype = dtype
+        # gather_output: all_gather each shard's channel frames over the
+        # sequence axis (ICI) so every device holds the full (T//M, M)
+        # output — the "allgather for channelizer outputs" pattern
+        # (BASELINE.json north star) for consumers that need global frames.
+        self.gather_output = gather_output
         self._jit_cache = {}
 
     def _local(self, xl: jnp.ndarray, carried: jnp.ndarray):
         xp = halo_exchange(xl, self.pfb.hist_len, carried)
         y = self.pfb._run(xp)
         new_hist = _replicated_tail(xp, self.pfb.hist_len)
+        if self.gather_output:
+            # Replicated global frames: scatter the local slice into a
+            # zero canvas and psum over the sequence axis (psum output is
+            # statically inferred replicated, unlike all_gather's).
+            i = jax.lax.axis_index(SEQ_AXIS)
+            g_local = y.shape[-2]  # y: (C_l, G_local, M) — frames at -2
+            canvas = jnp.zeros(y.shape[:-2] + (g_local * self.n_seq,
+                                               y.shape[-1]), dtype=y.dtype)
+            canvas = jax.lax.dynamic_update_slice_in_dim(
+                canvas, y, i * g_local, axis=-2)
+            y = jax.lax.psum(canvas, SEQ_AXIS)
         return y, new_hist
 
     def _build(self, c: int, t: int):
         key = (c, t)
         if key not in self._jit_cache:
+            y_spec = (P(DATA_AXIS, None, None) if self.gather_output
+                      else P(DATA_AXIS, SEQ_AXIS, None))
             fn = jax.shard_map(
                 self._local, mesh=self.mesh,
                 in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS, None)),
-                out_specs=(P(DATA_AXIS, SEQ_AXIS, None), P(DATA_AXIS, None)),
+                out_specs=(y_spec, P(DATA_AXIS, None)),
             )
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]

@@ -172,3 +172,20 @@ class TestShardedOverlapSave:
         np.testing.assert_allclose(
             np.asarray(jnp.concatenate([y1, y2], axis=-1)),
             np.asarray(y_whole), atol=1e-11)
+
+
+class TestChannelizerGather:
+    def test_gathered_output_replicated_and_correct(self, mesh18, rng):
+        m = 8
+        x = rng.standard_normal((1, 2048)) + 1j * rng.standard_normal((1, 2048))
+        local = ShardedChannelizer(m, mesh18, taps_per_channel=4,
+                                   dtype=jnp.float64)
+        gathered = ShardedChannelizer(m, mesh18, taps_per_channel=4,
+                                      dtype=jnp.float64, gather_output=True)
+        y_local, _ = local(jnp.asarray(x))
+        y_gath, _ = gathered(jnp.asarray(x))
+        assert y_gath.shape == y_local.shape  # global frames either way
+        np.testing.assert_allclose(np.asarray(y_gath), np.asarray(y_local),
+                                   atol=1e-12)
+        # gathered result is replicated over sp (one shard per device)
+        assert len(y_gath.sharding.device_set) == 8
