@@ -43,6 +43,8 @@ __all__ = [
     "design_bandpass",
     "design_bandstop",
     "bp_cutoff_freqs",
+    "freq_response",
+    "group_delay",
     "sos_matrix",
 ]
 
@@ -288,3 +290,31 @@ def sos_matrix(design: BiquadCascadeDesign) -> np.ndarray:
     sos = np.concatenate([design.b, design.a], axis=1).astype(np.float64)
     sos[0, :3] *= design.gain
     return sos
+
+
+def freq_response(design: BiquadCascadeDesign, freqs=None, *, n: int = 512):
+    """Complex frequency response H(f) of the cascade (including gain).
+
+    freqs: frequencies in the same units as design.fs (default: n points
+    from 0 to fs/2).  Returns (freqs, H).  Host-side analysis helper
+    (scipy.sosfreqz on the exported SOS matrix).
+    """
+    import scipy.signal as sig
+
+    worN = n if freqs is None else np.asarray(freqs, dtype=np.float64)
+    w, h = sig.sosfreqz(sos_matrix(design), worN=worN, fs=design.fs)
+    return w, h
+
+
+def group_delay(design: BiquadCascadeDesign, freqs=None, *, n: int = 512):
+    """Group delay in samples over frequency (host-side analysis helper)."""
+    import scipy.signal as sig
+
+    worN = n if freqs is None else np.asarray(freqs, dtype=np.float64)
+    total = None
+    w = None
+    for k in range(design.nsections):
+        b = design.b[k] * (design.gain if k == 0 else 1.0)
+        w, gd = sig.group_delay((b, design.a[k]), w=worN, fs=design.fs)
+        total = gd if total is None else total + gd
+    return w, total

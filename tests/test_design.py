@@ -116,3 +116,51 @@ def test_validation_errors():
         design_lowpass(4, -1.0, FS)
     with pytest.raises(ValueError):
         design_highpass(4, FS, FS)  # f0 >= fs/2
+
+
+def test_freq_response_matches_scipy():
+    import scipy.signal as sig
+    from simpledsp_tpu.design.biquad import freq_response, sos_matrix
+    d = design_lowpass(4, 2000.0, 39000.0)
+    w, h = freq_response(d, n=256)
+    w2, h2 = sig.sosfreqz(sos_matrix(d), worN=256, fs=39000.0)
+    np.testing.assert_allclose(h, h2)
+    # DC gain ~1, -3 dB near cutoff for Butterworth
+    assert abs(abs(h[0]) - 1.0) < 1e-9
+    _, hc = freq_response(d, freqs=[2000.0])
+    assert abs(20*np.log10(abs(hc[0])) + 3.01) < 0.05
+
+
+def test_group_delay_positive_in_passband():
+    from simpledsp_tpu.design.biquad import group_delay
+    d = design_lowpass(4, 2000.0, 39000.0)
+    w, gd = group_delay(d, n=128)
+    passband = gd[w < 1500.0]
+    assert (passband > 0).all()
+
+
+def test_block_matches_scan_random_designs():
+    """Property: block state-space condensation == scan oracle for random
+    designs (catches condensation bugs beyond the fixture grid)."""
+    import jax.numpy as jnp
+    from simpledsp_tpu.ops.iir import (
+        BlockIIR, coeffs_from_design, iir_init, sosfilt_scan)
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        m = int(rng.choice([2, 4, 6]))
+        fs = 48000.0
+        kind = rng.choice(["lp", "hp", "bp"])
+        f0 = float(rng.uniform(0.02, 0.4) * fs / 2)
+        if kind == "lp":
+            d = design_lowpass(m, f0, fs)
+        elif kind == "hp":
+            d = design_highpass(m, f0, fs)
+        else:
+            d = design_bandpass(m, f0, fs, float(rng.uniform(0.5, 3.0)))
+        x = rng.standard_normal(700)
+        blk = BlockIIR(d, block_size=64, dtype=jnp.float64)
+        y_b, _ = blk(jnp.asarray(x))
+        y_s, _ = sosfilt_scan(coeffs_from_design(d, dtype=jnp.float64),
+                              jnp.asarray(x), iir_init(m, (), jnp.float64))
+        scale = max(1.0, np.abs(np.asarray(y_s)).max())
+        assert np.abs(np.asarray(y_b) - np.asarray(y_s)).max() / scale < 1e-11
