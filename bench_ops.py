@@ -89,6 +89,7 @@ def main():
     from simpledsp_tpu.models.northstar import NorthStarChain
     chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,
                            precision=jax.lax.Precision.HIGH)
+    x = chain.frame_input(np.asarray(x))  # pre-framed upload (see bench.py)
     s0 = jnp.zeros((c, 10), jnp.float32)
     fwd = jax.jit(chain._forward)
     out, s = fwd(x, s0)

@@ -178,14 +178,23 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     The spectra's last two axes flatten (freely, outside jit) to the
     natural bin order: reshape(C, F, fft_size).
     """
-    c, t = x.shape
     n1, n2, N = ops.n1, ops.n2, ops.fft_size
+    if x.ndim == 4:
+        # Pre-framed input (C, F, n1, n2) — the same samples as (C, T) in
+        # the same order, but already in the kernel's tiling, so the
+        # device-side re-tiling copy of a flat (C, T) operand is skipped.
+        # Producers can upload this layout at no cost: device_put(
+        # x.reshape(C, F, n1, n2)).
+        c, nf = x.shape[:2]
+        t = nf * N
+        xsub = x
+    else:
+        c, t = x.shape
+        nf = t // N
+        xsub = x.reshape(c, nf, n1, n2)
     D = ops.state_dim
-    nf = t // N
     dtype = x.dtype
 
-    # ---- XLA pre-pass: per-sub-block input-driven states ----
-    xsub = x.reshape(c, nf, n1, n2)
     prec_x = precision or jax.lax.Precision.HIGHEST
     kx = jnp.einsum("dj,cfbj->cfbd", ops.K, xsub,
                     preferred_element_type=dtype, precision=prec_x)

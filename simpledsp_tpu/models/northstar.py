@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -93,8 +95,17 @@ class NorthStarChain:
                  state: Optional[IIRState] = None
                  ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], IIRState]:
         """Returns ((spec_re, spec_im), state) — RI planes, TPU-native
-        (complex never materializes; see ops/demod.py DemodStateRI)."""
-        c, t = x.shape
+        (complex never materializes; see ops/demod.py DemodStateRI).
+
+        x may be (C, T), or — on the fused path — pre-framed
+        (C, F, n1, n2) as produced by ``frame_input`` (same samples, saves
+        a device-side re-tiling copy).
+        """
+        if x.ndim == 4 and self._fused_ops is not None:
+            c = x.shape[0]
+            t = x.shape[1] * self.fft_size
+        else:
+            c, t = x.shape
         if t % self.fft_size or t % self.iir.block_size:
             raise ValueError(
                 f"T={t} must be a multiple of fft_size={self.fft_size} "
@@ -108,6 +119,17 @@ class NorthStarChain:
             sr = sr.reshape(c, -1, self.fft_size)
             si = si.reshape(c, -1, self.fft_size)
         return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))
+
+    def frame_input(self, x_host: "np.ndarray") -> jnp.ndarray:
+        """Upload a host (C, T) sample block in the fused kernel's framed
+        tiling (C, F, n1, n2) — same samples, zero device-side copies."""
+        ops = self._fused_ops
+        if ops is None:
+            return jnp.asarray(x_host, dtype=self.dtype)
+        c, t = x_host.shape
+        framed = np.asarray(x_host).reshape(c, t // self.fft_size,
+                                            ops.n1, ops.n2)
+        return jnp.asarray(framed, dtype=self.dtype)
 
 
 class ShardedNorthStarChain:
