@@ -79,10 +79,9 @@ class FMReceiverBank:
         )
 
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
-        """Jittable RI pipeline body."""
-        (ir, ii), chan_state = self.chan.process_ri(xr, xi, state.chan)
-        ir = jnp.swapaxes(ir, -1, -2)  # (B, M, G)
-        ii = jnp.swapaxes(ii, -1, -2)
+        """Jittable RI pipeline body (channel-major channelizer path: the
+        lane axis stays the long time axis end to end)."""
+        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
         disc, demod_state = fm_demod_ri(ir, ii, state.demod,
                                         gain=self.fm_gain)
         audio, audio_state = self.audio(disc, state.audio)
@@ -131,9 +130,7 @@ class AMReceiverBank(FMReceiverBank):
         self.remove_dc = remove_dc
 
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
-        (ir, ii), chan_state = self.chan.process_ri(xr, xi, state.chan)
-        ir = jnp.swapaxes(ir, -1, -2)
-        ii = jnp.swapaxes(ii, -1, -2)
+        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
         env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
         audio, audio_state = self.audio(env, state.audio)
         return audio, SDRState(chan_state, state.demod, audio_state)

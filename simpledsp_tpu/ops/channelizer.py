@@ -16,6 +16,7 @@ with explicit carried history; blockwise == whole-signal at multiples of M.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -67,26 +68,30 @@ class PFBChannelizer:
         self._jit = jax.jit(self._run)
 
     def _branch_filter(self, xp: jnp.ndarray) -> jnp.ndarray:
-        """Polyphase branch FIRs: (..., L-1+T) -> (..., T//M, M) real/any."""
+        """Polyphase branch FIRs: (..., L-1+T) -> (..., T//M, M) real/any.
+
+        TPU-first formulation: frame the (history-prefixed) signal once and
+        apply the K taps as K contiguous LAGGED frame products —
+        branch r's input x[gM - r] is column M-1-r of frame g+K-1 of xp,
+        so  u[g] = sum_j taps[:, j] * S[g + K-1-j]  with
+        S = flip(frames(xp), -1).  K vector FMAs on contiguous slices
+        replace the naive M*K strided gathers (measured ~40x faster on the
+        (8,128)-tiled layout).
+        """
         M, K, L = self.m, self.taps_per_branch, self.num_taps
         T = xp.shape[-1] - (L - 1)
         G = T // M
-        branches = []
-        for r in range(M):
-            acc = None
-            for j in range(K):
-                w = float(self._branch[r, j])
-                if w == 0.0:
-                    continue
-                a = L - 1 - r - j * M
-                seg = jax.lax.slice_in_dim(
-                    xp, a, a + (G - 1) * M + 1, stride=M, axis=-1)
-                term = seg * jnp.asarray(w, dtype=seg.dtype)
-                acc = term if acc is None else acc + term
-            if acc is None:
-                acc = jnp.zeros(xp.shape[:-1] + (G,), dtype=xp.dtype)
-            branches.append(acc)
-        return jnp.stack(branches, axis=-1)  # (..., G, M)
+        nfr = K + G - 1
+        S = jnp.flip(xp[..., : nfr * M].reshape(xp.shape[:-1] + (nfr, M)),
+                     axis=-1)
+        taps = self._branch  # (M, K), numpy constant
+        acc = None
+        for j in range(K):
+            lag = K - 1 - j
+            term = (S[..., lag: lag + G, :]
+                    * jnp.asarray(taps[:, j], dtype=xp.dtype))
+            acc = term if acc is None else acc + term
+        return acc  # (..., G, M)
 
     def _run(self, xp: jnp.ndarray):
         # Channel c downconverts +c*fs/M, i.e. y_c = sum_r v_r e^{+2pi i cr/M}
@@ -103,6 +108,82 @@ class PFBChannelizer:
         vi = self._branch_filter(xpi)
         yr, yi = _fft.fft_ri(vr, -vi)
         return yr, -yi
+
+    # -- channel-major fast path -------------------------------------------
+    @functools.cached_property
+    def _masked_taps(self) -> np.ndarray:
+        """(M, 1, L) conv kernels: feature r holds the reversed prototype
+        masked to taps k ≡ r (mod M) — branch r's contribution as one
+        stride-M convolution over the FLAT signal.  M/L of the MACs are
+        zeros, but XLA's TPU conv lowering still beats every layout-
+        shuffling alternative measured (strided slices, framed lags,
+        per-branch dilated convs, im2col matmuls) because the signal never
+        leaves its long-lane layout."""
+        M, L = self.m, self.num_taps
+        rhs = np.zeros((M, 1, L))
+        k = np.arange(L)
+        for r in range(M):
+            h_r = np.where(k % M == r, self._branch.T.reshape(-1), 0.0)
+            rhs[r, 0] = h_r[::-1]  # lax conv is cross-correlation
+        return rhs
+
+    def _run_ri_cm(self, xpr: jnp.ndarray, xpi: jnp.ndarray):
+        """Channel-MAJOR RI path: (..., L-1+T) planes -> (yr, yi) each
+        (..., M, T//M).
+
+        One stride-M masked conv per plane (branch filter) + one einsum
+        over the branch axis (inverse DFT); the lane axis stays the long
+        time axis end to end.  This is the natural layout for per-channel
+        consumers (demod banks) and measured ~4x the frame-major path in
+        the receiver models.  Conv precision: HIGH (3-pass bf16, ~96 dB)
+        in f32 — exact in the f64 parity path, where XLA CPU convs ignore
+        the precision knob.
+        """
+        M, L = self.m, self.num_taps
+        lead = xpr.shape[:-1]
+        W = xpr.shape[-1]
+        G = (W - (L - 1)) // M
+        rhs = jnp.asarray(self._masked_taps, dtype=xpr.dtype)
+
+        def branch(xp):
+            lhs = xp.reshape((-1, 1, W))
+            # u[b, r, g] = sum_k rhs[r, k] * xp[g*M + k]
+            y = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(M,), padding="VALID",
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=xp.dtype)
+            return y.reshape(lead + (M, G))
+
+        vr = branch(xpr)
+        vi = branch(xpi)
+        # Inverse DFT across branches (axis -2), lane axis untouched:
+        # y_c = sum_r v_r e^{+2 pi i c r / M}.
+        wr64, wi64 = _fft.dft_matrix(M)  # forward W = c + i s (s = -sin)
+        Wc = jnp.asarray(wr64, dtype=xpr.dtype)
+        Ws = jnp.asarray(-wi64, dtype=xpr.dtype)  # conjugate: +sin
+        dot = functools.partial(jnp.einsum, "cm,...mg->...cg",
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=xpr.dtype)
+        yr = dot(Wc, vr) - dot(Ws, vi)
+        yi = dot(Wc, vi) + dot(Ws, vr)
+        return yr, yi
+
+    def process_ri_cm(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                      state: Optional["ChanStateRI"] = None):
+        """Streaming channel-major entry: returns ((yr, yi) each
+        (..., M, T//M), state)."""
+        T = xr.shape[-1]
+        if T % self.m != 0:
+            raise ValueError(f"block length {T} must be a multiple of M={self.m}")
+        if state is None:
+            z = jnp.zeros(xr.shape[:-1] + (self.hist_len,), dtype=xr.dtype)
+            state = ChanStateRI(z, z)
+        xpr = jnp.concatenate([state.hist_r, xr], axis=-1)
+        xpi = jnp.concatenate([state.hist_i, xi], axis=-1)
+        yr, yi = self._run_ri_cm(xpr, xpi)
+        new = ChanStateRI(xpr[..., xpr.shape[-1] - self.hist_len:],
+                          xpi[..., xpi.shape[-1] - self.hist_len:])
+        return (yr, yi), new
 
     def process_ri(self, xr: jnp.ndarray, xi: jnp.ndarray,
                    state: Optional["ChanStateRI"] = None

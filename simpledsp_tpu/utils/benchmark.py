@@ -25,31 +25,51 @@ import jax
 __all__ = ["time_blocked", "time_streaming", "emit_metric", "trace"]
 
 
+def _force(out) -> None:
+    """Synchronize by FETCHING a value data-dependent on the result.
+
+    `jax.block_until_ready` can return before execution completes on some
+    runtimes (this environment's TPU tunnel — see PERF.md); a value fetch
+    cannot lie.  Devices execute in order, so forcing the last result
+    bounds everything enqueued before it.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.ravel()[:8]))
+
+
 def time_blocked(fn: Callable, *args, iters: int = 10,
                  warmup: int = 1) -> float:
-    """Mean seconds per call, blocking on every call's result."""
+    """Mean seconds per call, forcing every call's result (includes
+    per-call dispatch latency — the request/response view)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
 def time_streaming(step: Callable, x, state, iters: int = 16,
                    warmup: int = 1) -> float:
     """Mean seconds per call for a streaming step (y, state') = step(x, state),
-    chaining state and syncing only at the end — dispatch latency hidden."""
+    chaining state and syncing once at the end (minus one calibrated fetch
+    round-trip) — dispatch latency hidden, the pipeline view."""
     out, s = step(x, state)
     for _ in range(warmup - 1):
         out, s = step(x, s)
-    jax.block_until_ready((out, s))
+    _force((out, s))
     s = state
     t0 = time.perf_counter()
     for _ in range(iters):
         out, s = step(x, s)
-    jax.block_until_ready((out, s))
-    return (time.perf_counter() - t0) / iters
+    _force((out, s))
+    t_loop = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _force((out, s))
+    t_fetch = time.perf_counter() - t0
+    return max(t_loop - t_fetch, 1e-9) / iters
 
 
 def emit_metric(metric: str, value: float, unit: str,
