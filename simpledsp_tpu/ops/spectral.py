@@ -1,0 +1,72 @@
+"""Spectral analysis conveniences built on the batched FFT engine.
+
+Welch power-spectral-density estimation and spectrograms — the analysis
+layer a user of the reference's FFT typically builds by hand (frame,
+window, transform, average).  Windows are host-side float64 constants;
+transforms run through ops/fft (MXU matmuls, Pallas-fused on TPU via the
+chain/kernels when applicable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpledsp_tpu.ops import fft as _fft
+
+__all__ = ["spectrogram_ri", "welch_psd", "window_taps"]
+
+
+def window_taps(kind: str, n: int) -> np.ndarray:
+    """Host-side analysis window, PERIODIC form (float64) — the spectral-
+    analysis convention (scipy.signal.get_window default), not the
+    symmetric filter-design form."""
+    if kind in ("rect", "boxcar", "none"):
+        return np.ones(n)
+    import scipy.signal as sig
+
+    return sig.get_window(kind, n, fftbins=True).astype(np.float64)
+
+
+def spectrogram_ri(x: jnp.ndarray, nfft: int = 1024, *,
+                   hop: Optional[int] = None, window: str = "hann"
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Framed windowed FFT of a real signal: (..., T) -> (re, im) planes of
+    shape (..., nframes, nfft).  hop defaults to nfft (no overlap); for
+    50% overlap pass hop=nfft//2."""
+    hop = hop or nfft
+    t = x.shape[-1]
+    nframes = (t - nfft) // hop + 1
+    if nframes < 1:
+        raise ValueError(f"signal length {t} shorter than nfft={nfft}")
+    starts = np.arange(nframes) * hop
+    idx = jnp.asarray(starts[:, None] + np.arange(nfft)[None, :])
+    frames = jnp.take(x, idx, axis=-1)  # (..., nframes, nfft)
+    w = jnp.asarray(window_taps(window, nfft), dtype=x.dtype)
+    frames = frames * w
+    return _fft.fft_ri(frames, jnp.zeros_like(frames))
+
+
+def welch_psd(x: jnp.ndarray, nfft: int = 1024, *, fs: float = 1.0,
+              window: str = "hann", overlap: bool = True
+              ) -> Tuple[np.ndarray, jnp.ndarray]:
+    """Welch-averaged one-sided PSD of a real signal.
+
+    Returns (freqs (nfft//2+1,), psd (..., nfft//2+1)) with scipy.signal
+    `welch(..., scaling='density')` conventions (validated in tests).
+    """
+    hop = nfft // 2 if overlap else nfft
+    sr, si = spectrogram_ri(x, nfft, hop=hop, window=window)
+    w = window_taps(window, nfft)
+    power = sr * sr + si * si            # (..., nframes, nfft)
+    mean = jnp.mean(power, axis=-2)      # (..., nfft)
+    half = mean[..., : nfft // 2 + 1]
+    # one-sided: double everything except DC and Nyquist
+    scale_mid = jnp.ones(nfft // 2 + 1).at[1:nfft // 2].set(2.0)
+    psd = half * scale_mid / (fs * np.sum(w ** 2))
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
+    return freqs, psd

@@ -131,3 +131,26 @@ def test_rfft_irfft_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(half), np.fft.rfft(x), atol=1e-10)
     back = irfft(half)
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-12)
+
+
+def test_welch_psd_matches_scipy(rng):
+    import scipy.signal as sig
+    from simpledsp_tpu.ops.spectral import welch_psd
+    fs = 1000.0
+    t = np.arange(16384) / fs
+    x = np.sin(2 * np.pi * 123.0 * t) + 0.1 * rng.standard_normal(t.size)
+    f1, p1 = welch_psd(jnp.asarray(x), nfft=1024, fs=fs, window="hann")
+    f2, p2 = sig.welch(x, fs=fs, nperseg=1024, window="hann",
+                       noverlap=512, detrend=False)
+    np.testing.assert_allclose(f1, f2)
+    np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-8, atol=1e-12)
+
+
+def test_spectrogram_tone_bin(rng):
+    from simpledsp_tpu.ops.spectral import spectrogram_ri
+    n = 1024
+    x = np.cos(2 * np.pi * 128 * np.arange(8 * n) / n)
+    sr, si = spectrogram_ri(jnp.asarray(x), nfft=n, window="rect")
+    mag = np.abs(np.asarray(sr) + 1j * np.asarray(si))
+    # positive-frequency half (bin n-128 mirrors bin 128 for real input)
+    assert (mag[..., : n // 2].argmax(axis=-1) == 128).all()

@@ -132,3 +132,26 @@ class TestShardedFusedChain:
         np.testing.assert_allclose(
             np.concatenate([np.asarray(br), np.asarray(cr)], axis=1),
             np.asarray(ar), atol=1e-10)
+
+
+class TestStreamingSoak:
+    def test_long_stream_stability(self, rng):
+        """200 chained blocks: state stays bounded, outputs finite, and a
+        mid-stream block equals the same block from a fresh whole-run —
+        the streaming contract under sustained use."""
+        chain = NorthStarChain(dtype=jnp.float64, use_pallas=False)
+        nblk, blk = 200, 4096
+        x = rng.standard_normal((1, nblk * blk))
+        state = None
+        outs = []
+        for i in range(nblk):
+            (sr, si), state = chain(jnp.asarray(x[:, i*blk:(i+1)*blk]), state)
+            outs.append((np.asarray(sr), np.asarray(si)))
+        assert all(np.isfinite(a).all() and np.isfinite(b).all()
+                   for a, b in outs)
+        # state bounded (stable filter, bounded input)
+        assert np.abs(np.asarray(state.y_hist)).max() < 100.0
+        # block 150 from streaming == block 150 from a single whole run
+        (ar, ai), _ = chain(jnp.asarray(x))
+        np.testing.assert_allclose(outs[150][0][0, 0],
+                                   np.asarray(ar)[0, 150], atol=1e-9)
