@@ -55,6 +55,7 @@ from simpledsp_tpu.ops.fir import (
     fir_filter,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
+from simpledsp_tpu.ops.spectral import spectrogram_ri, welch_psd
 from simpledsp_tpu.ops.demod import (
     am_demod,
     am_demod_ri,
