@@ -56,10 +56,11 @@ try:
     print("PROBE FAIL: no error for bad length")
 except ValueError as e:
     print("  probe bad-length ->", e)
-from simpledsp_tpu import design_lowpass
+from simpledsp_tpu import design_bandpass, design_lowpass
+design_lowpass(3, 200.0, 39000.0)   # odd M legal for LP/HP (order 6)
 try:
-    design_lowpass(3, 200.0, 39000.0)
-    print("PROBE FAIL: no error for odd M")
+    design_bandpass(3, 2000.0, 39000.0, 1.0)   # band filters need pole PAIRS
+    print("PROBE FAIL: no error for odd-M band-pass")
 except ValueError as e:
-    print("  probe odd-M ->", e)
+    print("  probe odd-M band-pass ->", e)
 print("SDR end-to-end OK")

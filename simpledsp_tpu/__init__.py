@@ -21,6 +21,9 @@ from simpledsp_tpu.design.biquad import (
     design_bandstop,
     design_highpass,
     design_lowpass,
+    freq_response,
+    group_delay,
+    sos_matrix,
 )
 from simpledsp_tpu.design.fir import (
     lowpass_taps,

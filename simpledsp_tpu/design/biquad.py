@@ -120,8 +120,6 @@ class BiquadCascadeDesign:
         a = np.asarray(self.a, dtype=np.float64)
         if b.ndim != 2 or b.shape[1] != 3 or a.shape != b.shape:
             raise ValueError(f"bad coefficient shapes: b {b.shape}, a {a.shape}")
-        if b.shape[0] % 2 != 0:
-            raise ValueError("number of sections M must be even")
         object.__setattr__(self, "b", b)
         object.__setattr__(self, "a", a)
 
@@ -195,7 +193,7 @@ def design_bandpass(m: int, f0: float, fs: float, q: float,
     prototype pole pair maps to two resonant sections at e1/e2
     (reference math: casc_2o_iir.h:82-138).
     """
-    _check_args(m, f0, fs)
+    _check_args(m, f0, fs, need_even=True)
     e0 = 2.0 * math.pi * f0 / fs
     de = 2.0 * math.tan(e0 / (2.0 * q)) / math.sin(e0)
 
@@ -242,9 +240,7 @@ def design_bandstop(m: int, f0: float, fs: float, q: float,
     single input gain).  Cross-validated against scipy.signal.butter(...,
     'bandstop') in tests.
     """
-    _check_args(m, f0, fs)
-    if m % 2 != 0:
-        raise ValueError("band-stop needs an even number of sections")
+    _check_args(m, f0, fs, need_even=True)
     import scipy.signal as sig
 
     # Band edges: width f0/q, centered so the bilinear-transform notch lands
@@ -276,8 +272,14 @@ def _beta(dk: float, e: float) -> float:
     return (1.0 - t) / (1.0 + t) / 2.0
 
 
-def _check_args(m: int, f0: float, fs: float) -> None:
-    if m <= 0 or m % 2 != 0:
+def _check_args(m: int, f0: float, fs: float,
+                need_even: bool = False) -> None:
+    if m <= 0:
+        raise ValueError(f"M must be a positive integer, got {m}")
+    if need_even and m % 2 != 0:
+        # Band filters split M/2 analog pole pairs into M sections; the
+        # reference requires even M for ALL types (casc_2o_iir.h:25) but
+        # that is only mathematically necessary here.
         raise ValueError(f"M must be a positive even integer, got {m}")
     if not (0.0 < f0 < fs / 2.0):
         raise ValueError(f"need 0 < f0 < fs/2, got f0={f0}, fs={fs}")

@@ -227,8 +227,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         sel = jnp.clip(i - 1 - j, 0, n_sh)
         w = jnp.where((j < i)[:, None, None], jnp.take(apow, sel, axis=0),
                       0.0)
-        s_local_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0), s0)
-                      + jnp.einsum("jde,jce->cd", w, kall))
+        s_local_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0),
+                                 s0, preferred_element_type=dtype,
+                                 precision=prec_x)
+                      + jnp.einsum("jde,jce->cd", w, kall,
+                                   preferred_element_type=dtype,
+                                   precision=prec_x))
 
     s_fin, s_frames = jax.lax.scan(step, s_local_in, kf_t)
     s_frames = jnp.moveaxis(s_frames, 0, 1)  # (C, F, D) frame starts
@@ -237,8 +241,11 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         # Replicated GLOBAL final state via psum (streaming handoff).
         own_w = jnp.take(apow, n_sh - 1 - jax.lax.axis_index(axis_name),
                          axis=0)
-        s_fin = (jnp.einsum("de,ce->cd", apow[n_sh], s0)
-                 + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard),
+        s_fin = (jnp.einsum("de,ce->cd", apow[n_sh], s0,
+                            preferred_element_type=dtype, precision=prec_x)
+                 + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard,
+                                           preferred_element_type=dtype,
+                                           precision=prec_x),
                                 axis_name))
 
     # Sub-block start expansion: one (nb*D, nb*D) matmul per frame.

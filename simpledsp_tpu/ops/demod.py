@@ -97,13 +97,30 @@ def am_demod_ri(ir: jnp.ndarray, ii: jnp.ndarray, *,
     return env
 
 
+def _nco_angles(length: int, freq: float, phase: float,
+                sample_offset: int) -> np.ndarray:
+    """Oscillator angles with EXACT host-side phase reduction.
+
+    The naive -2*pi*freq*(arange + offset) loses all phase precision in
+    f32 once freq*offset reaches ~1e4 cycles (minutes of streaming), and
+    the index itself overflows int32 past 2^31 samples.  length, freq,
+    phase, and sample_offset are all static, so the cycle count is
+    computed in float64 numpy, reduced mod 1 BEFORE the 2*pi scale, and
+    folded into the jitted HLO as a trace-time constant.
+    """
+    n = np.arange(length, dtype=np.int64) + int(sample_offset)
+    cycles = (-(float(freq) * n) - phase / (2.0 * np.pi)) % 1.0
+    return 2.0 * np.pi * cycles
+
+
 def nco_mix_ri(xr: jnp.ndarray, xi: jnp.ndarray, freq: float, *,
                phase: float = 0.0, sample_offset: int = 0
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NCO digital downconversion on (re, im) planes:
-    (xr + i xi) * e^{-2 pi i f n}."""
-    n = jnp.arange(xr.shape[-1]) + sample_offset
-    ang = (-2.0 * np.pi * freq * n - phase).astype(xr.dtype)
+    (xr + i xi) * e^{-2 pi i f n}.  Phase-exact for arbitrarily large
+    ``sample_offset`` (streaming continuity; see _nco_angles)."""
+    ang = jnp.asarray(_nco_angles(xr.shape[-1], freq, phase, sample_offset),
+                      dtype=xr.dtype)
     c, s = jnp.cos(ang), jnp.sin(ang)
     return xr * c - xi * s, xr * s + xi * c
 
@@ -112,10 +129,10 @@ def nco_mix(x: jnp.ndarray, freq: float, *, phase: float = 0.0,
             sample_offset: int = 0) -> jnp.ndarray:
     """Numerically-controlled-oscillator mixer: x * e^{-2 pi i f n} for
     digital downconversion.  `freq` in cycles/sample; `sample_offset` lets a
-    streaming caller keep phase continuity across blocks."""
-    n = jnp.arange(x.shape[-1]) + sample_offset
-    ang = -2.0 * np.pi * freq * n - phase
+    streaming caller keep phase continuity across blocks (phase-exact for
+    arbitrarily large offsets; see _nco_angles)."""
     real_dtype = jnp.real(x).dtype if jnp.iscomplexobj(x) else x.dtype
-    ang = ang.astype(real_dtype)
+    ang = jnp.asarray(_nco_angles(x.shape[-1], freq, phase, sample_offset),
+                      dtype=real_dtype)
     osc = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
     return x * osc

@@ -48,12 +48,7 @@ __all__ = ["fft", "ifft", "rfft", "irfft", "fft_ri", "ifft_ri",
 _MAX_DFT = 128
 
 
-def _is_power_of(n: int, base: int) -> bool:
-    if n < 1:
-        return False
-    while n % base == 0:
-        n //= base
-    return n == 1
+from simpledsp_tpu.utils.intmath import is_power_of as _is_power_of
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,7 +103,9 @@ def _cmatmul(wr, wi, xr, xi, axis: int):
     if axis == -2:
         spec = "kn,...nm->...km"
     elif axis == -1:
-        spec = "kn,...mn->...mk"
+        # "...n" (not "...mn") so rank-1 inputs work: a bare 1-D FFT of
+        # size <= _MAX_DFT takes this path directly.
+        spec = "kn,...n->...k"
     else:
         raise ValueError(axis)
     dot = functools.partial(jnp.einsum, spec,

@@ -241,6 +241,9 @@ class OverlapSaveFIR:
 def fir_filter(taps, x, state=None, *, method: str = "auto",
                block_size: int = 1024, dtype=None):
     """Convenience one-shot FIR.  method: 'direct' | 'fft' | 'auto'."""
+    if method not in ("auto", "direct", "fft"):
+        raise ValueError(f"unknown method {method!r} "
+                         "(use 'direct', 'fft', or 'auto')")
     dtype = dtype or x.dtype
     L = np.asarray(taps).size
     if method == "fft" or (method == "auto" and L > 96

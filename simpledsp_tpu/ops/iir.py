@@ -293,7 +293,9 @@ class BlockIIR:
         kx_t = jnp.moveaxis(kx, -2, 0)  # (nblocks, ..., D)
 
         def step(s, kxk):
-            s_next = jnp.einsum("de,...e->...d", F, s) + kxk
+            s_next = jnp.einsum("de,...e->...d", F, s,
+                                preferred_element_type=s.dtype,
+                                precision=self.precision) + kxk
             return s_next, s  # emit state at block START
 
         s_final, s_starts = jax.lax.scan(step, s0, kx_t)

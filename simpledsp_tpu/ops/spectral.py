@@ -65,8 +65,10 @@ def welch_psd(x: jnp.ndarray, nfft: int = 1024, *, fs: float = 1.0,
     power = sr * sr + si * si            # (..., nframes, nfft)
     mean = jnp.mean(power, axis=-2)      # (..., nfft)
     half = mean[..., : nfft // 2 + 1]
-    # one-sided: double everything except DC and Nyquist
-    scale_mid = jnp.ones(nfft // 2 + 1).at[1:nfft // 2].set(2.0)
+    # one-sided: double everything except DC — and Nyquist, which only
+    # exists for even nfft.
+    top = nfft // 2 if nfft % 2 == 0 else nfft // 2 + 1
+    scale_mid = jnp.ones(nfft // 2 + 1).at[1:top].set(2.0)
     psd = half * scale_mid / (fs * np.sum(w ** 2))
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     return freqs, psd

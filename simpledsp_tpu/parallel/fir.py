@@ -42,6 +42,11 @@ def halo_exchange(xl: jnp.ndarray, hist: int, carried: jnp.ndarray,
     """
     if hist == 0:
         return xl
+    if xl.shape[-1] < hist:
+        raise ValueError(
+            f"time shard of {xl.shape[-1]} samples is shorter than the "
+            f"required halo of {hist}; use longer shards (T_local >= "
+            f"filter history) or fewer sequence shards")
     n = jax.lax.axis_size(axis_name)
     tail = xl[..., -hist:]
     if n > 1:

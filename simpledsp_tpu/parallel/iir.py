@@ -114,7 +114,9 @@ class ShardedBlockIIR:
         kx_t = jnp.moveaxis(kx, 1, 0)  # (nb, C_l, D)
 
         def step(s, k):
-            return jnp.einsum("de,ce->cd", F, s) + k, s
+            return jnp.einsum("de,ce->cd", F, s,
+                              preferred_element_type=s.dtype,
+                              precision=self.precision) + k, s
 
         # Zero-init local scan: input-driven shard-final state k_shard.
         # (pcast: the carry becomes device-varying along sp once it mixes
@@ -128,13 +130,21 @@ class ShardedBlockIIR:
         j = jnp.arange(self.n_seq)
         sel = jnp.clip(i - 1 - j, 0, self.n_seq)
         w = jnp.where((j < i)[:, None, None], jnp.take(apow, sel, axis=0), 0.0)
-        s_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0), s0)
-                + jnp.einsum("jde,jce->cd", w, kall))
+        s_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0), s0,
+                           preferred_element_type=s0.dtype,
+                           precision=self.precision)
+                + jnp.einsum("jde,jce->cd", w, kall,
+                             preferred_element_type=s0.dtype,
+                             precision=self.precision))
 
         # Replicated global final state via psum (streaming handoff).
         own_w = jnp.take(apow, self.n_seq - 1 - i, axis=0)
-        s_fin = (jnp.einsum("de,ce->cd", apow[self.n_seq], s0)
-                 + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard),
+        s_fin = (jnp.einsum("de,ce->cd", apow[self.n_seq], s0,
+                            preferred_element_type=s0.dtype,
+                            precision=self.precision)
+                 + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard,
+                                           preferred_element_type=s0.dtype,
+                                           precision=self.precision),
                                 SEQ_AXIS))
 
         # Correct-init local scan for per-block state starts, then outputs.

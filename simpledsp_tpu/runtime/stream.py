@@ -95,6 +95,7 @@ class RingBuffer:
         self._h = self._lib.sdsp_ring_create(capacity)
         if not self._h:
             raise MemoryError("ring allocation failed")
+        self._pending = b""  # partial-dtype remainder from short pops
 
     def close(self):
         if self._h:
@@ -120,9 +121,16 @@ class RingBuffer:
         return self._lib.sdsp_ring_push(self._h, _as_ptr(data), data.nbytes)
 
     def pop(self, nbytes: int, dtype=np.uint8) -> np.ndarray:
+        """Non-blocking pop of up to `nbytes`.  Returns whole `dtype`
+        elements only; a partial element from a short read is retained
+        internally and returned by the next pop (no data loss)."""
+        itemsize = np.dtype(dtype).itemsize
         out = np.empty(nbytes, dtype=np.uint8)
         got = self._lib.sdsp_ring_pop(self._h, _as_ptr(out), nbytes)
-        return out[:got].view(dtype)
+        buf = self._pending + out[:got].tobytes()
+        keep = len(buf) - len(buf) % itemsize
+        self._pending = buf[keep:]
+        return np.frombuffer(buf[:keep], dtype=dtype)
 
     def pop_exact(self, nbytes: int, dtype=np.uint8, timeout: float = 10.0,
                   poll: float = 0.0005) -> Optional[np.ndarray]:

@@ -36,7 +36,7 @@ def _force(out) -> None:
     import jax.numpy as jnp
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(leaf.ravel()[:8]))
+    float(jnp.sum(jnp.abs(leaf.ravel()[:8])))  # abs: complex-safe
 
 
 def time_blocked(fn: Callable, *args, iters: int = 10,

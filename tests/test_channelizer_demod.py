@@ -185,3 +185,31 @@ class TestAMReceiverBank:
         peak = np.fft.rfftfreq(a.size, 1 / arate)[np.argmax(spec)]
         assert abs(peak - ftone) < 3 * arate / a.size
         assert abs(a.mean() - 1.0) < 0.05   # carrier level preserved
+
+
+class TestNCOPhaseContinuity:
+    def test_large_sample_offset_exact(self):
+        """Regression: phase reduction must stay exact for huge offsets
+        (hours of streaming) — the naive f32 angle computation loses all
+        phase past ~1e7 samples."""
+        freq = 0.1234567
+        for off in (0, 10**8, 2**31 + 5):
+            yr, yi = nco_mix_ri(jnp.ones(64, jnp.float32),
+                                jnp.zeros(64, jnp.float32),
+                                freq, sample_offset=off)
+            n = np.arange(64, dtype=np.int64) + off
+            ref = np.exp(-2j * np.pi * ((freq * n) % 1.0))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            assert np.abs(got - ref).max() < 1e-5, off
+
+    def test_streaming_continuity(self, rng):
+        """Two blocks with sample_offset == one long block."""
+        x = rng.standard_normal(512).astype(np.float32)
+        z = np.zeros(512, np.float32)
+        yr, yi = nco_mix_ri(jnp.asarray(x), jnp.asarray(z), 0.01)
+        ar, ai = nco_mix_ri(jnp.asarray(x[:256]), jnp.asarray(z[:256]), 0.01)
+        br, bi = nco_mix_ri(jnp.asarray(x[256:]), jnp.asarray(z[256:]), 0.01,
+                            sample_offset=256)
+        np.testing.assert_allclose(
+            np.concatenate([np.asarray(ar), np.asarray(br)]),
+            np.asarray(yr), atol=1e-6)

@@ -111,11 +111,26 @@ def test_gain_parameter_scales_linearly():
 
 def test_validation_errors():
     with pytest.raises(ValueError):
-        design_lowpass(3, 200.0, FS)  # odd M
+        design_bandpass(3, 2000.0, FS, 1.0)  # band filters need pole pairs
+    with pytest.raises(ValueError):
+        design_lowpass(0, 200.0, FS)
     with pytest.raises(ValueError):
         design_lowpass(4, -1.0, FS)
     with pytest.raises(ValueError):
         design_highpass(4, FS, FS)  # f0 >= fs/2
+
+
+def test_odd_m_lowpass_matches_scipy():
+    """Odd section counts are legal for LP/HP (order 2M Butterworth) —
+    a deliberate loosening of the reference's blanket even-M assert."""
+    import scipy.signal as sig
+    from simpledsp_tpu.design.biquad import sos_matrix
+    d = design_lowpass(3, 2000.0, FS)  # order 6
+    z, p, k = sig.butter(6, 2000.0, fs=FS, output="zpk")
+    sos = sig.zpk2sos(z, p, k)
+    x = np.zeros(500); x[0] = 1.0
+    np.testing.assert_allclose(sig.sosfilt(sos_matrix(d), x),
+                               sig.sosfilt(sos, x), atol=1e-12)
 
 
 def test_freq_response_matches_scipy():

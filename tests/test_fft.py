@@ -154,3 +154,23 @@ def test_spectrogram_tone_bin(rng):
     mag = np.abs(np.asarray(sr) + 1j * np.asarray(si))
     # positive-frequency half (bin n-128 mirrors bin 128 for real input)
     assert (mag[..., : n // 2].argmax(axis=-1) == 128).all()
+
+
+def test_fft_1d_small_sizes(rng):
+    """Regression: rank-1 input with N <= 128 (single dense-matmul path)."""
+    for n in (16, 64, 128):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        got = np.asarray(fft(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-10)
+
+
+def test_welch_odd_nfft_matches_scipy(rng):
+    """Regression: odd nfft has no Nyquist bin — top bin must not be
+    halved."""
+    import scipy.signal as sig
+    from simpledsp_tpu.ops.spectral import welch_psd
+    x = rng.standard_normal(8000)
+    f1, p1 = welch_psd(jnp.asarray(x), nfft=125, fs=500.0)
+    # our hop is nfft//2 = 62 -> scipy noverlap = nperseg - hop = 63
+    f2, p2 = sig.welch(x, fs=500.0, nperseg=125, noverlap=63, detrend=False)
+    np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-8, atol=1e-12)

@@ -163,3 +163,20 @@ class TestFileSource:
         spec = np.abs(np.fft.rfft(a * np.hanning(a.size)))
         peak = np.fft.rfftfreq(a.size, 1 / arate)[np.argmax(spec)]
         assert abs(peak - ftone) < 3 * arate / a.size, peak
+
+
+class TestPopAlignment:
+    def test_partial_pop_keeps_split_elements(self, rng):
+        """Regression: a pop that lands mid-element must not crash or drop
+        bytes — the partial element is returned by the next pop."""
+        r = RingBuffer(1 << 12)
+        data = rng.integers(-1000, 1000, 600, dtype=np.int16)
+        raw = data.tobytes()
+        r.push(np.frombuffer(raw[:101], dtype=np.uint8))  # odd byte count
+        first = r.pop(200, dtype=np.int16)
+        assert first.size == 50  # 100 bytes -> 50 elements, 1 byte pending
+        r.push(np.frombuffer(raw[101:], dtype=np.uint8))
+        rest = r.pop(len(raw), dtype=np.int16)
+        got = np.concatenate([first, rest])
+        np.testing.assert_array_equal(got, data)
+        r.close()
