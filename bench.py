@@ -11,7 +11,6 @@ Prints ONE JSON line:
 """
 
 import json
-import sys
 import time
 
 import numpy as np

@@ -13,7 +13,6 @@ Prints one JSON line per mesh size plus a summary efficiency line.
 """
 
 import json
-import time
 
 import numpy as np
 

@@ -47,9 +47,28 @@ def _ingest_blocks(path: str, fmt: str, block_pairs: int):
     ring.close()
 
 
+def _state_paths(args) -> str:
+    return args.save_state or (args.output + ".state.npz")
+
+
+def _resume_state(args, run_zero_block):
+    """Resumed carried state, or None for a fresh stream.
+
+    The checkpoint loader needs a structural prototype; processing one
+    all-zeros block builds one (every leaf is then REPLACED by the saved
+    values, so the prototype's contents never matter).
+    """
+    if not args.state:
+        return None
+    from simpledsp_tpu.utils.checkpoint import load_state
+    proto = run_zero_block()
+    return load_state(args.state, proto)
+
+
 def _cmd_rx(args, mode: str) -> int:
     import jax.numpy as jnp
     from simpledsp_tpu.models.sdr import AMReceiverBank, FMReceiverBank
+    from simpledsp_tpu.utils.checkpoint import save_state
 
     if mode == "fm":
         rx = FMReceiverBank(args.channels, args.rate, decim=args.decim,
@@ -57,7 +76,13 @@ def _cmd_rx(args, mode: str) -> int:
     else:
         rx = AMReceiverBank(args.channels, args.rate, decim=args.decim)
     block = args.channels * args.decim * args.block_frames
-    state = None
+
+    def zero_block():
+        z = jnp.zeros((1, block), dtype=jnp.float32)
+        _, s = rx((z, z), None)
+        return s
+
+    state = _resume_state(args, zero_block)
     audio = []
     t0 = time.time()
     nsamp = 0
@@ -73,6 +98,7 @@ def _cmd_rx(args, mode: str) -> int:
     np.savez(args.output, audio=out,
              rate=args.rate / args.channels / args.decim,
              channels=args.channels)
+    save_state(_state_paths(args), state)
     dt = time.time() - t0
     print(f"{mode.upper()} rx: {nsamp} samples -> {out.shape} audio "
           f"({nsamp/dt/1e6:.1f} Msamples/s wall)")
@@ -100,7 +126,12 @@ def _cmd_spectra(args) -> int:
     chain = NorthStarChain(design=design, fft_size=args.fft)
 
     block = args.fft * args.block_frames
-    state = None
+
+    def zero_block():
+        _, s = chain(jnp.zeros((1, block), dtype=jnp.float32), None)
+        return s
+
+    state = _resume_state(args, zero_block)
     frames = 0
     sr_acc = []
     si_acc = []
@@ -116,6 +147,8 @@ def _cmd_spectra(args) -> int:
     np.savez(args.output, spec_re=np.concatenate(sr_acc, axis=0),
              spec_im=np.concatenate(si_acc, axis=0), fft=args.fft,
              rate=args.rate)
+    from simpledsp_tpu.utils.checkpoint import save_state
+    save_state(_state_paths(args), state)
     dt = time.time() - t0
     print(f"spectra: {frames} frames of {args.fft} "
           f"({frames*args.fft/dt/1e6:.1f} Msamples/s wall)")
@@ -133,6 +166,12 @@ def main(argv=None) -> int:
         sp.add_argument("--format", choices=["iq16", "iqu8", "f32"],
                         default="iq16" if iq else "f32")
         sp.add_argument("--block-frames", type=int, default=1024)
+        sp.add_argument("--state", default=None,
+                        help="resume from a carried-state .npz saved by a "
+                             "previous run")
+        sp.add_argument("--save-state", default=None,
+                        help="where to save the final carried state "
+                             "(default: <output>.state.npz)")
 
     for mode in ("fm", "am"):
         sp = sub.add_parser(f"{mode}-rx", help=f"{mode.upper()} receiver bank")

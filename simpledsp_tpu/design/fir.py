@@ -11,7 +11,6 @@ binary (reference: include/sdsp/fft.h:264-265).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import numpy as np
 

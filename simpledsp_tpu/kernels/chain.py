@@ -25,7 +25,7 @@ economics, reference: include/sdsp/fft.h:264-265).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,95 @@ class FusedNorthStarOperators:
         return out
 
 
+def _affine_prefix(Ff: jnp.ndarray, kf_t: jnp.ndarray, precision):
+    """Inclusive prefix of the affine frame recurrence s' = Ff s + k.
+
+    Returns (Mc (F, D, D), vc (F, C, D)) such that the state AFTER frame f
+    is ``Mc[f] @ s_in + vc[f]``.  Computed with ``lax.associative_scan`` —
+    log2(F) rounds of batched (D, D) matmuls instead of F sequential scan
+    steps (the length-256 ``lax.scan`` measured ~1 ms of pure dispatch per
+    call on the axon runtime; this is ~8 fused batched ops).
+    """
+    nf, d = kf_t.shape[0], Ff.shape[0]
+    dot = functools.partial(jnp.einsum, precision=precision,
+                            preferred_element_type=kf_t.dtype)
+
+    def comb(a, b):  # b AFTER a:  (Mb Ma, Mb va + vb)
+        ma, va = a
+        mb, vb = b
+        return dot("fde,fej->fdj", mb, ma), dot("fde,fce->fcd", mb, va) + vb
+
+    m0 = jnp.broadcast_to(Ff, (nf, d, d))
+    return jax.lax.associative_scan(comb, (m0, kf_t))
+
+
+def _make_packed_kernel(precision, n2h: int):
+    """Fused chain kernel emitting the PACKED HALF SPECTRUM of each frame.
+
+    The chain input is real, so the spectrum is Hermitian — computing and
+    writing bins above N/2 is pure waste.  Bins k = k1 + n1*k2 with
+    k2 < n2/2 cover k in [0, N/2); step 3 therefore contracts with the
+    STACKED table [W2c[:n2/2]; W2s[:n2/2]] (n2 x n2) so each of the TWO
+    dots fills all 128 output lanes: lanes [0, n2h) hold the real half,
+    [n2h, n2) the imaginary half.  One lane-roll + signed add combines
+    them; output traffic is HALF the full-spectrum kernel's, in ONE plane.
+
+    The Nyquist bin X[N/2] (real for real input) is packed into the
+    Im X[0] slot (k1 = 0, lane n2h) — the FFTW halfcomplex convention.
+    X[N/2] = sum_t tr[k1=0, :, t] * (-1)^t since W2[n2/2, t] = (-1)^t.
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1c_ref, w1s_ref, w2cs_ref,
+             tc_ref, ts_ref, o_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        # IIR block conv in VMEM (see _make_fused_kernel).
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+
+        # Four-step FFT, steps 1-2 (real input: two step-1 dots).
+        c_r = dot1f(w1c_ref[:], y)
+        s_r = dot1f(w1s_ref[:], y)
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+
+        # Step 3, packed: A = [tr.Wc | tr.Ws], B = [ti.Wc | ti.Ws];
+        #   Re X = tr.Wc - ti.Ws = A - roll(B)   on lanes <  n2h
+        #   Im X = ti.Wc + tr.Ws = B + roll(A)?  -> A + roll(B) on >= n2h.
+        a = dot_lane(tr, w2cs_ref[:])
+        b = dot_lane(ti, w2cs_ref[:])
+        br = pltpu.roll(b, n2h, axis=2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+        sign = jnp.where(lane < n2h, -1.0, 1.0).astype(dtype)
+        out = a + sign * br
+
+        # Nyquist into the Im X[0] slot (k1 = 0, lane n2h).
+        tl = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 2)
+        alt = jnp.where(tl % 2 == 0, 1.0, -1.0).astype(dtype)
+        nyq = jnp.sum(tr[0:1] * alt[0:1], axis=2)    # (1, r)
+        k1i = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+        o_ref[:] = jnp.where((k1i == 0) & (lane == n2h),
+                             nyq[:, :, None], out)
+
+    return body
+
+
 def _make_fused_kernel(precision):
     # See kernels/fft.py _make_kernel: in-kernel dots run at HIGHEST unless
     # DEFAULT is explicitly requested (split-bf16 measured slower on v5e).
@@ -161,7 +250,8 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        s0: jnp.ndarray, *, frames_per_tile: int = 16,
                        precision=None, interpret: bool = False,
                        axis_name: Optional[str] = None,
-                       shard_powers: Optional[np.ndarray] = None):
+                       shard_powers: Optional[np.ndarray] = None,
+                       _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
     Args:
@@ -259,6 +349,10 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     f_total = c * nf
     x3 = xsub.reshape(f_total, n1, n2)
     s3 = starts.reshape(f_total, n1, D)
+    if _debug_stage == "prepass":
+        # Measurement hook (tools/bench_phases.py): stop after the XLA
+        # pre-pass so its cost can be attributed separately.
+        return ((s3, s3), s_fin)
 
     max_r = max(1, (13 << 20) // (20 * N * np.dtype(dtype).itemsize))
     max_r = 1 << (max_r.bit_length() - 1)  # power of two for divisibility
@@ -307,6 +401,9 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
             transcendentals=0),
         interpret=interpret,
     )(x3, s3, *tables)
+    if _debug_stage == "kernel":
+        # Measurement hook: raw (k1, f, k2) kernel output, no reorder.
+        return ((yr, yi), s_fin)
     # Bin reorder (k1, f, k2) -> (f, k2, k1): ONE XLA transpose.  The
     # result is returned as (C, F, n2, n1) whose standard row-major layout
     # already holds bins in natural order k = k1 + n1 k2 — flattening the

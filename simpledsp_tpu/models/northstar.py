@@ -15,7 +15,7 @@ cross-device traffic is the tiny IIR state collective (parallel/iir.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -101,7 +101,12 @@ class NorthStarChain:
         (C, F, n1, n2) as produced by ``frame_input`` (same samples, saves
         a device-side re-tiling copy).
         """
-        if x.ndim == 4 and self._fused_ops is not None:
+        if x.ndim == 4:
+            if self._fused_ops is None:
+                raise ValueError(
+                    "pre-framed (C, F, n1, n2) input requires the fused "
+                    "kernel path (TPU backend + tileable fft_size); pass "
+                    "flat (C, T) input here, e.g. x.reshape(C, -1)")
             c = x.shape[0]
             t = x.shape[1] * self.fft_size
         else:

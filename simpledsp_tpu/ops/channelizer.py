@@ -3,15 +3,20 @@ the north star (BASELINE.json: "channelize + resample + FM demod";
 SURVEY.md §2b "channelizer (polyphase filter bank + batched FFT)").
 
 Analysis channelizer, critically sampled: splits a wideband stream into M
-baseband channels at rate fs/M:
+baseband channels at rate fs/M, channel c centered at +c*fs/M.
+Downconverting by e^{-2 pi i c n / M} before the low-pass gives, at output
+sample g (input index gM):
 
-    y_c[n] = sum_k h[k] x[nM - k] e^{-2 pi i c k / M}
-           = DFT_M over r of  v_r[n],   v_r[n] = sum_j h[jM + r] x[(n-j)M - r]
+    y_c[g] = sum_k h[k] x[gM - k] e^{-2 pi i c (gM - k) / M}
+           = sum_k h[k] x[gM - k] e^{+2 pi i c k / M}
+           = sum_r e^{+2 pi i c r / M} v_r[g],
+             v_r[g] = sum_j h[jM + r] x[(g-j)M - r]
 
-i.e. M polyphase branch FIRs (strided shift-add, trace-time-constant taps —
-same TPU pattern as ops/fir.py) followed by a length-M FFT across branches
-(the four-step matmul FFT from ops/fft.py, batched over time).  Streaming
-with explicit carried history; blockwise == whole-signal at multiples of M.
+i.e. M polyphase branch FIRs (trace-time-constant taps — same TPU pattern
+as ops/fir.py) followed by an UNSCALED INVERSE length-M DFT across branches
+(the +i sign; computed with the four-step matmul engine from ops/fft.py via
+conjugation).  Streaming with explicit carried history; blockwise ==
+whole-signal at multiples of M.
 """
 
 from __future__ import annotations

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft_ri", "ifft_ri",
-           "fft_radix2", "fft_radix4", "dft_matrix"]
+           "rfft_ri", "irfft_ri", "fft_radix2", "fft_radix4", "dft_matrix"]
 
 # Largest size computed as one dense DFT matmul.  128 keeps the operand a
 # (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
@@ -225,21 +225,94 @@ def fft_radix4(x: jnp.ndarray, *, inverse: bool = False, dtype=None) -> jnp.ndar
     return ifft(x, dtype=dtype) if inverse else fft(x, dtype=dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _half_twiddle_f64(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, -sin) of W[k] = e^{-2 pi i k / n} for k = 0..n//2 inclusive —
+    the Hermitian post-twiddle of the real-input split-radix step."""
+    k = np.arange(n // 2 + 1, dtype=np.int64)
+    ang = (-2.0 * np.pi / n) * k
+    return np.cos(ang), np.sin(ang)
+
+
+def rfft_ri(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """True half-spectrum real-input FFT on float planes:
+    (..., N) real -> (re, im) planes of the N//2+1 non-negative bins.
+
+    Even N runs at HALF the full transform's cost: the N real samples are
+    packed as N/2 complex (even samples real plane, odd samples imaginary
+    plane), one N/2-point complex FFT runs, and the Hermitian post-twiddle
+
+        X[k] = E[k] - i W^k O[k],   W = e^{-2 pi i / N},
+        E = (Z[k] + conj(Z[N/2-k]))/2,  O = (Z[k] - conj(Z[N/2-k]))/2
+
+    recovers the half spectrum (elementwise VPU work).  Odd N falls back
+    to the full transform + slice.
+    """
+    n = x.shape[-1]
+    nb = n // 2 + 1
+    if n % 2 or n < 4:
+        yr, yi = _fft_ri(x, jnp.zeros_like(x), inverse=False)
+        return yr[..., :nb], yi[..., :nb]
+    zr, zi = _fft_ri(x[..., 0::2], x[..., 1::2], inverse=False)
+    # Extend with Z[N/2] := Z[0] so k and N/2-k index one array of nb bins.
+    zr = jnp.concatenate([zr, zr[..., :1]], axis=-1)
+    zi = jnp.concatenate([zi, zi[..., :1]], axis=-1)
+    rr, ri_ = zr[..., ::-1], zi[..., ::-1]       # Z[N/2-k]
+    er, ei = 0.5 * (zr + rr), 0.5 * (zi - ri_)   # even part E
+    orr, oi = 0.5 * (zr - rr), 0.5 * (zi + ri_)  # odd part O
+    wc, ws = _half_twiddle_f64(n)
+    wr = jnp.asarray(wc, dtype=x.dtype)
+    wi = jnp.asarray(ws, dtype=x.dtype)
+    # X = E - i (wr + i wi) O
+    yr = er + (wr * oi + wi * orr)
+    yi = ei - (wr * orr - wi * oi)
+    return yr, yi
+
+
+def irfft_ri(xr: jnp.ndarray, xi: jnp.ndarray,
+             n: Optional[int] = None) -> jnp.ndarray:
+    """Inverse of :func:`rfft_ri`: (re, im) planes of N//2+1 bins -> the
+    length-n real signal.  Even n inverts the half-size packing (half the
+    full transform's cost); other lengths reconstruct the full Hermitian
+    spectrum and take the real part of a full inverse."""
+    nb = xr.shape[-1]
+    if n is None:
+        n = 2 * (nb - 1)
+    if n % 2 or n != 2 * (nb - 1) or n < 4:
+        tail_r = xr[..., 1: n - nb + 1][..., ::-1]
+        tail_i = -xi[..., 1: n - nb + 1][..., ::-1]
+        fr = jnp.concatenate([xr, tail_r], axis=-1)
+        fi = jnp.concatenate([xi, tail_i], axis=-1)
+        yr, _ = ifft_ri(fr, fi)
+        return yr
+    ar, ai = xr[..., :-1], xi[..., :-1]            # X[k], k = 0..N/2-1
+    br = xr[..., 1:][..., ::-1]                    # X[N/2-k]
+    bi = xi[..., 1:][..., ::-1]
+    er, ei = 0.5 * (ar + br), 0.5 * (ai - bi)
+    orr, oi = 0.5 * (ar - br), 0.5 * (ai + bi)
+    wc, ws = _half_twiddle_f64(n)
+    wr = jnp.asarray(wc[:-1], dtype=xr.dtype)
+    wp = jnp.asarray(-ws[:-1], dtype=xr.dtype)     # +sin: W^{+k}
+    # Z = E + i (wr + i wp) O
+    zr = er - (wr * oi + wp * orr)
+    zi = ei + (wr * orr - wp * oi)
+    zr, zi = ifft_ri(zr, zi)
+    return jnp.stack([zr, zi], axis=-1).reshape(zr.shape[:-1] + (n,))
+
+
 def rfft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
     """FFT of real input returning the N//2+1 non-negative-frequency bins
-    (numpy.fft.rfft semantics).  Computed via the full transform — the
-    batched four-step engine is already real-matmul — and sliced; complex
-    output dtype follows :func:`fft`."""
-    full = fft(x, dtype=dtype)
-    return full[..., : x.shape[-1] // 2 + 1]
+    (numpy.fft.rfft semantics).  Even sizes route through the half-size
+    packed transform (:func:`rfft_ri` — half the flops of :func:`fft`);
+    complex output dtype follows :func:`fft`."""
+    rdt = _pick_real_dtype(x, dtype)
+    yr, yi = rfft_ri(x.astype(rdt))
+    return jax.lax.complex(yr, yi)
 
 
 def irfft(x: jnp.ndarray, n: Optional[int] = None, *,
           dtype=None) -> jnp.ndarray:
-    """Inverse of :func:`rfft`: reconstruct the Hermitian-symmetric full
-    spectrum and return the length-n real signal."""
-    if n is None:
-        n = 2 * (x.shape[-1] - 1)
-    tail = jnp.conj(x[..., 1: n - x.shape[-1] + 1][..., ::-1])
-    full = jnp.concatenate([x, tail], axis=-1)
-    return jnp.real(ifft(full, dtype=dtype))
+    """Inverse of :func:`rfft`: length-n real signal from the half
+    spectrum (half-size packed inverse for even n)."""
+    rdt = _pick_real_dtype(x, dtype)
+    return irfft_ri(jnp.real(x).astype(rdt), jnp.imag(x).astype(rdt), n)

@@ -23,7 +23,6 @@ Semantics are validated against scipy.signal.lfilter / upfirdn in tests.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -36,14 +36,13 @@ serializable (checkpoint/resume story, SURVEY.md §5).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simpledsp_tpu.design.biquad import BiquadCascadeDesign, FilterType
+from simpledsp_tpu.design.biquad import BiquadCascadeDesign
 
 __all__ = [
     "CascadeCoeffs",

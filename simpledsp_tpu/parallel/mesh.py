@@ -16,8 +16,7 @@ latency-sensitive halo/state collectives ride ICI.
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ Usage, one process per host::
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -134,9 +134,17 @@ class RingBuffer:
 
     def pop_exact(self, nbytes: int, dtype=np.uint8, timeout: float = 10.0,
                   poll: float = 0.0005) -> Optional[np.ndarray]:
-        """Block until `nbytes` are available (or timeout -> None)."""
+        """Block until `nbytes` are available (or timeout -> None).
+
+        Any partial-element remainder retained by a previous :meth:`pop` is
+        drained into the output first, so mixing pop and pop_exact never
+        skips or reorders bytes."""
         out = np.empty(nbytes, dtype=np.uint8)
-        filled = 0
+        filled = min(len(self._pending), nbytes)
+        if filled:
+            out[:filled] = np.frombuffer(self._pending[:filled],
+                                         dtype=np.uint8)
+            self._pending = self._pending[filled:]
         deadline = time.monotonic() + timeout
         ptr_base = out.ctypes.data
         while filled < nbytes:
@@ -145,6 +153,9 @@ class RingBuffer:
             filled += got
             if filled < nbytes:
                 if time.monotonic() > deadline:
+                    # Put everything read so far back at the stream head so
+                    # a retry (or pop) sees the bytes in order.
+                    self._pending = out[:filled].tobytes() + self._pending
                     return None
                 if got == 0:
                     time.sleep(poll)

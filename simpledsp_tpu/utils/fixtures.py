@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import pathlib
+import re
 from typing import List, Tuple
 
 import numpy as np
@@ -42,11 +43,17 @@ REFERENCE_N = 1000
 
 
 def read_fixture(path) -> ImpulseFixture:
-    """Parse the reference CSV format: ``fType,fs,f0,Q,n`` + n samples."""
-    lines = pathlib.Path(path).read_text().strip().splitlines()
-    ftype_s, fs_s, f0_s, q_s, n_s = lines[0].split(",")
+    """Parse the reference CSV format: ``fType,fs,f0,Q,n`` + n samples.
+
+    Layout-agnostic: accepts both Octave ``csvwrite`` output (everything on
+    one comma-separated line, the reference's actual files — parsed by
+    test/testIIR.cpp:7-28 with ``getline(..., ',')``) and this repo's
+    one-sample-per-line layout.  Tokens are split on commas and whitespace.
+    """
+    toks = re.split(r"[,\s]+", pathlib.Path(path).read_text().strip())
+    ftype_s, fs_s, f0_s, q_s, n_s = toks[:5]
     n = int(float(n_s))
-    vals = np.array([float(v) for v in lines[1:n + 1]], dtype=np.float64)
+    vals = np.array([float(v) for v in toks[5:5 + n]], dtype=np.float64)
     if vals.size != n:
         raise ValueError(f"{path}: expected {n} samples, got {vals.size}")
     return ImpulseFixture(ftype=FilterType(int(float(ftype_s))),
@@ -54,10 +61,20 @@ def read_fixture(path) -> ImpulseFixture:
                           response=vals)
 
 
-def write_fixture(path, fx: ImpulseFixture) -> None:
-    lines = [f"{int(fx.ftype)},{fx.fs:g},{fx.f0:g},{fx.q:g},{fx.response.size}"]
-    lines += [repr(float(v)) for v in fx.response]
-    pathlib.Path(path).write_text("\n".join(lines) + "\n")
+def write_fixture(path, fx: ImpulseFixture, layout: str = "lines") -> None:
+    """Write a fixture CSV.  ``layout="lines"`` (default) puts one sample
+    per line; ``layout="octave"`` writes the single-comma-separated-line
+    form Octave's csvwrite produces, byte-compatible with the reference's
+    reader (testIIR.cpp:7-28)."""
+    header = f"{int(fx.ftype)},{fx.fs:g},{fx.f0:g},{fx.q:g},{fx.response.size}"
+    vals = [repr(float(v)) for v in fx.response]
+    if layout == "octave":
+        text = ",".join([header] + vals) + "\n"
+    elif layout == "lines":
+        text = "\n".join([header] + vals) + "\n"
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    pathlib.Path(path).write_text(text)
 
 
 def _scipy_impulse(ftype: FilterType, fs: float, f0: float, q: float,

@@ -16,6 +16,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+import os
+import random
+
 import numpy as np
 import pytest
 
@@ -23,3 +26,17 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0x5D5B)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Randomized test order — the reference CI's ``--order rand`` (reference:
+    .github/workflows/cmake-single-platform.yml:61), dependency-free.
+
+    Enabled with SDSP_TEST_ORDER=random (tools/ci.sh does); the seed is
+    printed for reproduction and can be pinned with SDSP_TEST_SEED.
+    """
+    if os.environ.get("SDSP_TEST_ORDER") != "random":
+        return
+    seed = int(os.environ.get("SDSP_TEST_SEED", random.randrange(1 << 32)))
+    print(f"\n[conftest] shuffling test order, SDSP_TEST_SEED={seed}")
+    random.Random(seed).shuffle(items)

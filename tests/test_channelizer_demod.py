@@ -2,7 +2,6 @@
 analytic known-answer cases + streaming-consistency, the reference's test
 categories 1 and 4 applied to the net-new components)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

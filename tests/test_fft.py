@@ -133,17 +133,57 @@ def test_rfft_irfft_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), x, atol=1e-12)
 
 
+@pytest.mark.parametrize("n", [4, 64, 100, 125, 1024, 4096])
+def test_rfft_ri_matches_numpy(rng, n):
+    """True half-spectrum path (even n: half-size packed transform +
+    Hermitian post-twiddle; odd n: fallback) vs numpy, both directions."""
+    from simpledsp_tpu.ops.fft import irfft_ri, rfft_ri
+    x = rng.standard_normal((3, n))
+    yr, yi = rfft_ri(jnp.asarray(x))
+    assert yr.shape == (3, n // 2 + 1)
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-10 * n)
+    np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-10 * n)
+    back = irfft_ri(yr, yi, n)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-11 * n)
+
+
+def test_rfft_half_cost(rng):
+    """The even-size rfft must actually run the packed half-size transform:
+    its HLO flop estimate stays under ~60% of the full fft's."""
+    import jax
+    from simpledsp_tpu.ops.fft import fft, rfft
+
+    def cost(fn, x):
+        c = jax.jit(fn).lower(x).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        return float(c.get("flops", 0.0))
+
+    x = jnp.asarray(rng.standard_normal((64, 4096)), dtype=jnp.float32)
+    full = cost(lambda v: fft(v), x)
+    half = cost(lambda v: rfft(v), x)
+    assert 0 < half < 0.6 * full, (half, full)
+
+
 def test_welch_psd_matches_scipy(rng):
     import scipy.signal as sig
     from simpledsp_tpu.ops.spectral import welch_psd
     fs = 1000.0
     t = np.arange(16384) / fs
-    x = np.sin(2 * np.pi * 123.0 * t) + 0.1 * rng.standard_normal(t.size)
+    # DC offset makes detrend behavior observable: scipy's default
+    # detrend='constant' must be matched BY DEFAULT here too.
+    x = (np.sin(2 * np.pi * 123.0 * t) + 0.1 * rng.standard_normal(t.size)
+         + 3.0)
     f1, p1 = welch_psd(jnp.asarray(x), nfft=1024, fs=fs, window="hann")
-    f2, p2 = sig.welch(x, fs=fs, nperseg=1024, window="hann",
-                       noverlap=512, detrend=False)
+    f2, p2 = sig.welch(x, fs=fs, nperseg=1024, window="hann", noverlap=512)
     np.testing.assert_allclose(f1, f2)
     np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-8, atol=1e-12)
+    for detrend in (False, "constant", "linear"):
+        f1, p1 = welch_psd(jnp.asarray(x), nfft=1024, fs=fs, window="hann",
+                           detrend=detrend)
+        f2, p2 = sig.welch(x, fs=fs, nperseg=1024, window="hann",
+                           noverlap=512, detrend=detrend)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-7, atol=1e-12)
 
 
 def test_spectrogram_tone_bin(rng):
@@ -172,5 +212,5 @@ def test_welch_odd_nfft_matches_scipy(rng):
     x = rng.standard_normal(8000)
     f1, p1 = welch_psd(jnp.asarray(x), nfft=125, fs=500.0)
     # our hop is nfft//2 = 62 -> scipy noverlap = nperseg - hop = 63
-    f2, p2 = sig.welch(x, fs=500.0, nperseg=125, noverlap=63, detrend=False)
+    f2, p2 = sig.welch(x, fs=500.0, nperseg=125, noverlap=63)
     np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-8, atol=1e-12)

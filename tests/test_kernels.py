@@ -2,7 +2,6 @@
 on real TPU by bench.py / examples).  Methodology per SURVEY.md §4 category
 1/2: analytic spectra + round trips vs numpy's FFT."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -8,7 +8,6 @@ import subprocess
 import sys
 import textwrap
 
-import pytest
 
 WORKER = textwrap.dedent("""
     import sys

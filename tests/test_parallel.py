@@ -15,7 +15,7 @@ import scipy.signal as sig
 from simpledsp_tpu.design.biquad import design_bandpass, design_lowpass
 from simpledsp_tpu.design.fir import lowpass_taps
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
-from simpledsp_tpu.ops.fir import FIRFilter, PolyphaseResampler
+from simpledsp_tpu.ops.fir import PolyphaseResampler
 from simpledsp_tpu.ops.iir import coeffs_from_design, iir_init, sosfilt_scan
 from simpledsp_tpu.parallel import (
     ShardedBlockIIR,
