@@ -7,8 +7,15 @@ timing (see PERF.md methodology) and reports Msamples/s against the
 measured C++ single-core number.  Prints one JSON line per row.
 
 Run on the real chip: python bench_ops.py
+
+Regression gate: ``python bench_ops.py --assert-floor 50`` exits nonzero
+if ANY row drops below 50x its reference baseline — the executable analog
+of the reference running its BENCHMARK blocks on every CI pass (reference:
+test/testIIR.cpp:465-559, .github/workflows yml:57-61).  Wired into the
+test suite as an opt-in TPU gate (tests/test_perf_gate.py).
 """
 
+import argparse
 import json
 import time
 
@@ -111,7 +118,16 @@ def main():
                       "rows": len(results),
                       "min_vs_baseline": worst,
                       "all_beat_reference": worst > 1.0}))
+    return worst
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assert-floor", type=float, default=None,
+                    help="exit 1 if any row's vs_baseline drops below this")
+    args = ap.parse_args()
+    worst = main()
+    if args.assert_floor is not None and worst < args.assert_floor:
+        raise SystemExit(
+            f"PERF REGRESSION: min vs_baseline {worst} < floor "
+            f"{args.assert_floor}")

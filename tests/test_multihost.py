@@ -33,6 +33,32 @@ WORKER = textwrap.dedent("""
     y, st = f(x)
     val = float(jnp.sum(jnp.abs(y)))
     print(f"OK proc {{pid}} checksum {{val:.6f}}", flush=True)
+
+    # Halo-exchange FIR across the process boundary (ppermute ring).
+    from simpledsp_tpu.design.fir import lowpass_taps
+    from simpledsp_tpu.parallel import ShardedFIR
+    fir = ShardedFIR(lowpass_taps(33, 0.25, fs=1.0), mesh)
+    yf, _ = fir(x)
+    val_fir = float(jnp.sum(jnp.abs(yf)))
+    print(f"OKFIR proc {{pid}} checksum {{val_fir:.6f}}", flush=True)
+
+    # Full sharded north-star chain across processes, validated against a
+    # locally-computed SERIAL reference on the (deterministic) global input.
+    from simpledsp_tpu.models.northstar import NorthStarChain, ShardedNorthStarChain
+    chain = ShardedNorthStarChain(mesh, fft_size=256, block_size=64,
+                                  dtype=jnp.float32, use_pallas=False)
+    (sr, si), _ = chain(x)
+    val_chain = float(jnp.sum(jnp.abs(sr)) + jnp.sum(jnp.abs(si)))
+    ref_in = np.concatenate(
+        [np.random.default_rng(p).standard_normal((1, 1024)).astype(np.float32)
+         for p in range(2)], axis=0)
+    serial = NorthStarChain(fft_size=256, block_size=64,
+                            dtype=jnp.float32, use_pallas=False)
+    (rr, ri), _ = serial(jnp.asarray(ref_in))
+    val_serial = float(jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ri)))
+    rel = abs(val_chain - val_serial) / max(abs(val_serial), 1e-9)
+    assert rel < 1e-5, (val_chain, val_serial)
+    print(f"OKCHAIN proc {{pid}} checksum {{val_chain:.6f}}", flush=True)
 """)
 
 
@@ -50,7 +76,11 @@ def test_two_process_distributed(tmp_path):
         out, _ = p.communicate(timeout=220)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    checks = [l for o in outs for l in o.splitlines() if l.startswith("OK")]
-    assert len(checks) == 2
-    # both processes computed the SAME global result
-    assert checks[0].split()[-1] == checks[1].split()[-1], checks
+    # both processes computed the SAME global result for every mechanism
+    # exercised: sharded IIR (state collective), halo FIR (ppermute ring),
+    # and the full sharded chain (+ serial-reference parity in-worker).
+    for tag in ("OK ", "OKFIR ", "OKCHAIN "):
+        checks = [ln for o in outs for ln in o.splitlines()
+                  if ln.startswith(tag)]
+        assert len(checks) == 2, (tag, outs)
+        assert checks[0].split()[-1] == checks[1].split()[-1], checks
