@@ -54,7 +54,8 @@ class FMReceiverBank:
 
     def __init__(self, num_channels: int, fs: float, decim: int = 4,
                  deviation_hz: float = 75e3, taps_per_channel: int = 16,
-                 audio_taps: int = 64, dtype=jnp.float32):
+                 audio_taps: int = 64, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         self.m = int(num_channels)
         self.fs = float(fs)
         self.decim = int(decim)
@@ -64,6 +65,12 @@ class FMReceiverBank:
         self.chan = PFBChannelizer(num_channels,
                                    taps_per_channel=taps_per_channel,
                                    dtype=dtype)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        # Fused channelize+demod Pallas kernel (kernels/pfb.py): the XLA
+        # masked-conv path burns (M-1)/M of its MACs on structural zeros.
+        self.use_pallas = use_pallas
+        self._interpret = False   # tests may set True to run fused on CPU
         ataps = lowpass_taps(audio_taps, 0.4 / decim, fs=1.0)
         self.audio = PolyphaseDecimator(ataps, decim, dtype=dtype)
         self._jit = jax.jit(self._forward)
@@ -78,12 +85,45 @@ class FMReceiverBank:
                            dtype=self.dtype),
         )
 
+    def _prefix(self, xr, xi, state):
+        """History-prefix the input planes; returns (xpr, xpi, new chan
+        state) — shared by the XLA and fused paths."""
+        xpr = jnp.concatenate([state.chan.hist_r, xr], axis=-1)
+        xpi = jnp.concatenate([state.chan.hist_i, xi], axis=-1)
+        h = self.chan.hist_len
+        return xpr, xpi, ChanStateRI(xpr[..., xpr.shape[-1] - h:],
+                                     xpi[..., xpi.shape[-1] - h:])
+
+    def _fused_g(self, t: int) -> "int | None":
+        """Output frame count for the fused kernel, or None when this
+        trace's shape cannot use the compiled kernel (Mosaic needs
+        g % 128 == 0; kernels/pfb.py docstring) and must fall back to the
+        XLA path."""
+        g = t // self.m
+        if self._interpret or (t % self.m == 0 and g % 128 == 0 and g > 0):
+            return g
+        return None
+
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         """Jittable RI pipeline body (channel-major channelizer path: the
         lane axis stays the long time axis end to end)."""
-        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
-        disc, demod_state = fm_demod_ri(ir, ii, state.demod,
-                                        gain=self.fm_gain)
+        g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
+        if g is not None:
+            from simpledsp_tpu.kernels.pfb import halo_frames, pfb_fm_frames
+            halo = halo_frames(self.chan.taps_per_branch, self._interpret)
+            xpr, xpi, chan_state = self._prefix(xr, xi, state)
+            disc, (ylr, yli) = pfb_fm_frames(
+                self.chan.kernel_ops, self.chan.frames_t(xpr, g + halo),
+                self.chan.frames_t(xpi, g + halo),
+                state.demod.prev_r[..., None],
+                state.demod.prev_i[..., None], gain=self.fm_gain, g=g,
+                interpret=self._interpret)
+            demod_state = DemodStateRI(ylr[..., 0], yli[..., 0])
+        else:
+            (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi,
+                                                           state.chan)
+            disc, demod_state = fm_demod_ri(ir, ii, state.demod,
+                                            gain=self.fm_gain)
         audio, audio_state = self.audio(disc, state.audio)
         return audio, SDRState(chan_state, demod_state, audio_state)
 
@@ -123,14 +163,29 @@ class AMReceiverBank(FMReceiverBank):
 
     def __init__(self, num_channels: int, fs: float, decim: int = 4,
                  remove_dc: bool = True, taps_per_channel: int = 16,
-                 audio_taps: int = 64, dtype=jnp.float32):
+                 audio_taps: int = 64, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         super().__init__(num_channels, fs, decim=decim,
                          taps_per_channel=taps_per_channel,
-                         audio_taps=audio_taps, dtype=dtype)
+                         audio_taps=audio_taps, dtype=dtype,
+                         use_pallas=use_pallas)
         self.remove_dc = remove_dc
 
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
-        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
-        env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
+        g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
+        if g is not None:
+            from simpledsp_tpu.kernels.pfb import halo_frames, pfb_am_frames
+            halo = halo_frames(self.chan.taps_per_branch, self._interpret)
+            xpr, xpi, chan_state = self._prefix(xr, xi, state)
+            env = pfb_am_frames(self.chan.kernel_ops,
+                                self.chan.frames_t(xpr, g + halo),
+                                self.chan.frames_t(xpi, g + halo), g=g,
+                                interpret=self._interpret)
+            if self.remove_dc:
+                env = env - jnp.mean(env, axis=-1, keepdims=True)
+        else:
+            (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi,
+                                                           state.chan)
+            env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
         audio, audio_state = self.audio(env, state.audio)
         return audio, SDRState(chan_state, state.demod, audio_state)

@@ -173,6 +173,34 @@ class PFBChannelizer:
         yi = dot(Wc, vi) + dot(Ws, vr)
         return yr, yi
 
+    def frames_t(self, xp: jnp.ndarray,
+                 pad_to: Optional[int] = None) -> jnp.ndarray:
+        """Transposed frames of a history-prefixed plane for the fused
+        Pallas kernels (kernels/pfb.py): (..., W) -> (..., M, nfr) with
+        row m holding samples xp[f*M + m].  One XLA transpose; the trailing
+        W % M samples (newest history, carried in the state) are dropped,
+        exactly as the frame-major engine does.
+
+        pad_to: zero-pad to this many frames (>= W // M) — the compiled
+        kernels over-read a 128-aligned halo past the last output frame
+        (kernels/pfb.py docstring); the pad fuses into this transpose so
+        the input still crosses HBM once.
+        """
+        nfr = xp.shape[-1] // self.m
+        f = xp[..., : nfr * self.m].reshape(xp.shape[:-1] + (nfr, self.m))
+        ft = jnp.swapaxes(f, -1, -2)
+        if pad_to is not None and pad_to > nfr:
+            pad = [(0, 0)] * (ft.ndim - 1) + [(0, pad_to - nfr)]
+            ft = jnp.pad(ft, pad)
+        return ft
+
+    @functools.cached_property
+    def kernel_ops(self):
+        """Trace-time tables for kernels/pfb.py, matching this bank's
+        prototype filter."""
+        from simpledsp_tpu.kernels.pfb import PFBOperators
+        return PFBOperators(self._branch, dtype=self.dtype)
+
     def process_ri_cm(self, xr: jnp.ndarray, xi: jnp.ndarray,
                       state: Optional["ChanStateRI"] = None):
         """Streaming channel-major entry: returns ((yr, yi) each

@@ -1,0 +1,97 @@
+"""Receiver-bank throughput on the real TPU: fused Pallas PFB kernel
+(kernels/pfb.py) vs the XLA masked-conv path, FM and AM.
+
+Also asserts numeric parity between the two paths on-chip before timing
+(max |diff| gate), so a lowering bug cannot masquerade as a speedup.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, xr, xi, state, iters=8):
+    import jax
+    out, st = fn(xr, xi, state)
+    jax.tree_util.tree_map(
+        lambda a: float(np.asarray(a.ravel()[0])), st.demod.prev_r)
+    st = state
+    start = time.perf_counter()
+    for _ in range(iters):
+        out, st = fn(xr, xi, st)
+    float(np.asarray(st.demod.prev_r.ravel()[0]))
+    t_loop = time.perf_counter() - start
+    start = time.perf_counter()
+    float(np.asarray(st.demod.prev_r.ravel()[0]))
+    t_fetch = time.perf_counter() - start
+    return max(t_loop - t_fetch, 1e-9) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from simpledsp_tpu.models.sdr import AMReceiverBank, FMReceiverBank
+    from simpledsp_tpu.utils.host import to_numpy
+
+    # Constant-envelope FM carriers on every channel slot: with white
+    # noise the channel outputs pass arbitrarily close to zero, where the
+    # discriminator's angle has unbounded condition number and the f32
+    # fused-vs-XLA comparison measures error AMPLIFICATION, not kernel
+    # error (probe: chan planes match at 1.2e-5).  Real receiver input
+    # keeps |y| ~ 1 so the parity gate tests the kernel itself.
+    # Deviation kept small enough that the decimated per-sample phase step
+    # stays well inside (-pi, pi): near the branch cut a 1e-5 f32
+    # difference flips atan2 by 2*pi (measured: one off-center carrier
+    # made exactly one channel 'diverge' by 0.26 while 15 matched at 1e-6).
+    b, t, m = 16, 1 << 20, 16
+    n = np.arange(t)
+    z = np.zeros(t, dtype=np.complex128)
+    for c in range(m):
+        beta = 2.0
+        fmod = (0.2 + 0.03 * c) / 257.0
+        phase = (2 * np.pi * ((c + 0.002) / m) * n
+                 + beta * np.sin(2 * np.pi * fmod * n))
+        z += np.exp(1j * phase)
+    z = np.broadcast_to(z, (b, t))
+    xr = jnp.asarray(z.real.astype(np.float32))
+    xi = jnp.asarray(z.imag.astype(np.float32))
+
+    results = {}
+    for name, cls in (("fm", FMReceiverBank), ("am", AMReceiverBank)):
+        fused = cls(16, fs=1.6e6, use_pallas=True)
+        plain = cls(16, fs=1.6e6, use_pallas=False)
+        st = fused.init_state(b)
+
+        # Parity gate on a short block before timing.
+        short = 16 * 2048
+        a1, _ = jax.jit(fused._forward)(xr[:, :short], xi[:, :short], st)
+        a2, _ = jax.jit(plain._forward)(xr[:, :short], xi[:, :short], st)
+        d = np.abs(to_numpy(a1) - to_numpy(a2))
+        dev = float(d.max())
+        scale = float(np.abs(to_numpy(a2)).max())
+        print(f"{name}: fused-vs-xla max dev {dev:.3e} (scale {scale:.3e})",
+              flush=True)
+        if not dev < 1e-3 * max(scale, 1.0):
+            i = np.unravel_index(np.argmax(d), d.shape)
+            print(f"  argmax {i}; fused {to_numpy(a1)[i]:.4f} "
+                  f"plain {to_numpy(a2)[i]:.4f}", flush=True)
+            print("  per-b:", np.array2string(d.max(axis=(1, 2)),
+                                              precision=2), flush=True)
+            print("  per-ch:", np.array2string(d.max(axis=(0, 2)),
+                                               precision=2), flush=True)
+            raise AssertionError("fused path diverges")
+
+        for path, bank in (("pallas", fused), ("xla", plain)):
+            fn = jax.jit(bank._forward)
+            dt = timeit(fn, xr, xi, st)
+            msps = b * t / dt / 1e6
+            results[f"{name}_{path}"] = {"ms": round(dt * 1e3, 3),
+                                         "Msps": round(msps, 1)}
+            print(f"{name}_{path}: {dt*1e3:.3f} ms = {msps:.0f} Ms/s",
+                  flush=True)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

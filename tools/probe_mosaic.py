@@ -118,5 +118,56 @@ def main():
         print(f"   {dt*1e3:.3f} ms -> {gb:.0f} GB/s effective", flush=True)
 
 
+def main_transpose():
+    """In-kernel (k1, r, k2) -> (r, k2, k1) value transpose + 32-lane
+    store: can the chain kernel emit natural bin order directly, and at
+    what effective bandwidth vs the XLA transpose (~143 GB/s measured)?"""
+    r, n1, n2, f = 16, 32, 128, 4096
+    rng = np.random.default_rng(0)
+    big = jnp.asarray(rng.standard_normal((n1, f, n2)), jnp.float32)
+
+    def k4(x_ref, o_ref):
+        o_ref[:] = jnp.transpose(x_ref[:], (1, 2, 0))
+
+    def run4():
+        return pl.pallas_call(
+            k4, grid=(f // r,),
+            in_specs=[pl.BlockSpec((n1, r, n2), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((r, n2, n1), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((f, n2, n1), jnp.float32),
+        )(big)
+
+    if probe("in-kernel (1,2,0) transpose", run4):
+        got = np.asarray(run4())
+        ref = np.asarray(big).transpose(1, 2, 0)
+        print("   max err:", float(np.abs(got - ref).max()), flush=True)
+        fjit = jax.jit(run4)
+        o = fjit(); float(jnp.sum(o[0]))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            o = fjit()
+        float(jnp.sum(o[0]))
+        dt = (time.perf_counter() - t0) / 20
+        gb = 2 * big.size * 4 / dt / 1e9
+        print(f"   {dt*1e3:.3f} ms -> {gb:.0f} GB/s effective", flush=True)
+
+    # XLA baseline on the same shape.
+    fx = jax.jit(lambda a: jax.lax.transpose(a, (1, 2, 0)))
+    o = fx(big); float(jnp.sum(o[0]))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        o = fx(big)
+    float(jnp.sum(o[0]))
+    dt = (time.perf_counter() - t0) / 20
+    print(f"xla transpose: {dt*1e3:.3f} ms -> "
+          f"{2 * big.size * 4 / dt / 1e9:.0f} GB/s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--transpose" in sys.argv:
+        main_transpose()
+    else:
+        main()
