@@ -47,7 +47,7 @@ chain = NorthStarChain()
 xx = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8192)), dtype=jnp.float32)
 (sr, si), st = chain(xx)
 jax.block_until_ready(sr)
-assert sr.shape == si.shape == (2, 2, 4096)
+assert sr.shape == si.shape == (2, 2, 2048)  # packed one-sided
 lap(f"northstar spectra RI {sr.shape} pallas={chain.use_pallas}")
 
 # probes: wrong block length + odd section count must raise clean errors

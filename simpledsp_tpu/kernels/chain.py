@@ -78,27 +78,37 @@ class FusedNorthStarOperators:
         for i in range(1, nb + 1):
             pw[i] = F64 @ pw[i - 1]
 
-        # Frame-level transition and input-to-frame-state map:
-        #   s_{f+1} = Ff s_f + sum_j F64^{nb-1-j} kx[j]
+        # Frame-level transition.
         self.Ff = pw[nb].astype(npdt)
-        self.Wlast = np.stack([pw[nb - 1 - j] for j in range(nb)]).astype(npdt)
 
-        # Sub-block start expansion, one (nb*D, nb*D) matrix:
-        # inputs v = [s_f, kx[0], ..., kx[nb-2]]  (nb vectors of D)
-        # s_start[p] = F64^p s_f + sum_{j<p} F64^{p-1-j} kx[j]
-        U = np.zeros((nb, nb, D, D))
+        # ONE direct x -> prepass table (the K projection, the sub-block
+        # start input parts, and the frame-k rows all fused):
+        #   x_flat (F, N) @ TKt -> [starts_x (nb D) | k_frame (D)]
+        # with starts_x[p] = sum_{j<p} F^{p-1-j} K x[j-th block] and
+        # k_frame = sum_j F^{nb-1-j} K x[j].  The kx -> U2 two-step it
+        # replaces was relayout-bound on TPU: every intermediate had a
+        # D(~10)-lane minor dim, so each concat/reshape ran at <10% DMA
+        # lane utilization (measured 1.7 ms of a 2.3 ms prepass); this is
+        # one dense MXU matmul from the already-framed input.
+        TK = np.zeros(((nb + 1) * D, nb * self.n2))
+        for p in range(1, nb + 1):
+            for j in range(p):
+                TK[p * D:(p + 1) * D, j * self.n2:(j + 1) * self.n2] = \
+                    pw[p - 1 - j] @ K
+        self.TKt = np.ascontiguousarray(TK.T).astype(npdt)
+        # State part of the start expansion: s_frames (·, D) @ FpT.
+        FpT = np.zeros((D, nb * D))
         for p in range(nb):
-            U[p, 0] = pw[p]
-            for j in range(1, nb):
-                if j - 1 < p:
-                    U[p, j] = pw[p - 1 - (j - 1)]
-        self.U2 = U.transpose(0, 2, 1, 3).reshape(nb * D, nb * D).astype(npdt)
+            FpT[:, p * D:(p + 1) * D] = pw[p].T
+        self.FpT = FpT.astype(npdt)
 
         self.H = H.astype(npdt)          # (n2, n2) lower-tri Toeplitz
         self.Phi = Phi.astype(npdt)      # (n2, D)
         self.K = K.astype(npdt)          # (D, n2)
         self.dtype = dtype
+        self._npdt = npdt
         self._Ff64 = pw[nb]              # frame transition, float64
+        self._ptabs = {}
 
     def shard_powers(self, frames_per_shard: int,
                      n_shards: int) -> np.ndarray:
@@ -113,30 +123,102 @@ class FusedNorthStarOperators:
             out[i] = Fs @ out[i - 1]
         return out
 
+    def frame_prefix_tables(self, F: int):
+        """Host f64->dtype tables for the two-level frame-state prefix
+        over F frames (see :func:`_frame_prefix_start`).
 
-def _affine_prefix(Ff: jnp.ndarray, kf_t: jnp.ndarray, precision):
-    """Inclusive prefix of the affine frame recurrence s' = Ff s + k.
+        Frames split into G groups of bg ~ sqrt(F); one dense inclusive
+        block-Toeplitz matmul expands each group, a second (strict) one
+        resolves group incoming states — replacing lax.associative_scan,
+        whose log2(F) rounds of F-batched (D, D) matmuls were
+        dispatch/relayout-bound on the axon runtime (~0.4 ms at F = 256).
+        """
+        if F in self._ptabs:
+            return self._ptabs[F]
+        D = self.state_dim
+        Ff = self._Ff64
+        bg = 1 << min(7, max(0, int(round(np.log2(max(F, 2)) / 2))))
+        bg = min(bg, F)
+        G = -(-F // bg)
+        pwf = [np.eye(D)]
+        for _ in range(bg):
+            pwf.append(Ff @ pwf[-1])
+        LTfT = np.zeros((bg * D, bg * D))     # inclusive: power p - j, j <= p
+        for p in range(bg):
+            for j in range(p + 1):
+                LTfT[j * D:(j + 1) * D, p * D:(p + 1) * D] = pwf[p - j].T
+        Fg = pwf[bg]
+        pwg = [np.eye(D)]
+        for _ in range(G):
+            pwg.append(Fg @ pwg[-1])
+        LTgT = np.zeros((G * D, G * D))       # strict: power q - 1 - r, r < q
+        for q in range(G):
+            for r_ in range(q):
+                LTgT[r_ * D:(r_ + 1) * D, q * D:(q + 1) * D] = \
+                    pwg[q - 1 - r_].T
+        FgPT = np.zeros((D, G * D))           # s_in -> group starts
+        for q in range(G):
+            FgPT[:, q * D:(q + 1) * D] = pwg[q].T
+        FpLT = np.zeros((D, bg * D))          # group start -> after-frame p
+        for p in range(bg):
+            FpLT[:, p * D:(p + 1) * D] = pwf[p + 1].T
+        q_l, p_l = divmod(F - 1, bg)
+        tabs = dict(
+            bg=bg, G=G, q_l=q_l, p_l=p_l,
+            LTfT=LTfT.astype(self._npdt), LTgT=LTgT.astype(self._npdt),
+            FgPT=FgPT.astype(self._npdt), FpLT=FpLT.astype(self._npdt),
+            FfpT=pwf[p_l + 1].T.astype(self._npdt))
+        self._ptabs[F] = tabs
+        return tabs
 
-    Returns (Mc (F, D, D), vc (F, C, D)) such that the state AFTER frame f
-    is ``Mc[f] @ s_in + vc[f]``.  Computed with ``lax.associative_scan`` —
-    log2(F) rounds of batched (D, D) matmuls instead of F sequential scan
-    steps (the length-256 ``lax.scan`` measured ~1 ms of pure dispatch per
-    call on the axon runtime; this is ~8 fused batched ops).
+
+def _tdot(a, tab, prec, dtype):
+    """a @ (trace-time-constant table), MXU-shaped."""
+    return jnp.dot(a, jnp.asarray(tab, dtype=dtype), precision=prec,
+                   preferred_element_type=dtype)
+
+
+def _frame_prefix_start(tabs, kf_t, prec, dtype):
+    """Input-driven half of the frame-state prefix s' = Ff s + k.
+
+    kf_t: (F, C, D) frame-k vectors.  Returns (L, W, vc_last):
+      L (G C, bg D): inclusive within-group prefix values,
+        L[(q, c), (p, d)] = (sum_{j<=p} Ff^{p-j} k[q bg + j])[d]
+      W (C, G D): input-driven state entering each group,
+        W[c, (q, d)] = (sum_{r<q} Fg^{q-1-r} kgrp[r])[d]
+      vc_last (C, D): input-driven state after frame F-1 (the shard k of
+        the sequence-parallel closed form).
+    Two dense matmuls against host block-Toeplitz tables — every operand
+    keeps a >= bg*D-lane minor dim (no D-lane relayouts).
     """
-    nf, d = kf_t.shape[0], Ff.shape[0]
-    dot = functools.partial(jnp.einsum, precision=precision,
-                            preferred_element_type=kf_t.dtype)
+    F, C, D = kf_t.shape
+    bg, G = tabs["bg"], tabs["G"]
+    ft = bg * G
+    kp = kf_t if ft == F else jnp.pad(kf_t, ((0, ft - F), (0, 0), (0, 0)))
+    kgq = jnp.transpose(kp.reshape(G, bg, C, D), (0, 2, 1, 3))
+    kgq = kgq.reshape(G * C, bg * D)
+    L = _tdot(kgq, tabs["LTfT"], prec, dtype)            # (G C, bg D)
+    kgrp = jnp.transpose(L[:, -D:].reshape(G, C, D), (1, 0, 2))
+    W = _tdot(kgrp.reshape(C, G * D), tabs["LTgT"], prec, dtype)
+    q_l, p_l = tabs["q_l"], tabs["p_l"]
+    vc_last = (_tdot(W[:, q_l * D:(q_l + 1) * D], tabs["FfpT"], prec, dtype)
+               + L.reshape(G, C, bg * D)[q_l, :, p_l * D:(p_l + 1) * D])
+    return L, W, vc_last
 
-    def comb(a, b):  # b AFTER a:  (Mb Ma, Mb va + vb)
-        ma, va = a
-        mb, vb = b
-        return dot("fde,fej->fdj", mb, ma), dot("fde,fce->fcd", mb, va) + vb
 
-    m0 = jnp.broadcast_to(Ff, (nf, d, d))
-    return jax.lax.associative_scan(comb, (m0, kf_t))
+def _frame_prefix_finish(tabs, L, W, s_in, F, prec, dtype):
+    """States after every frame given the true incoming state s_in (C, D):
+    s_after[c, f = q bg + p] = Ff^{p+1} (Fg^q s_in + W[q]) + L_q[p]."""
+    C, D = s_in.shape
+    bg, G = tabs["bg"], tabs["G"]
+    S = W + _tdot(s_in, tabs["FgPT"], prec, dtype)       # (C, G D)
+    term = _tdot(S.reshape(C * G, D), tabs["FpLT"], prec, dtype)
+    Lr = jnp.transpose(L.reshape(G, C, bg * D), (1, 0, 2))
+    s_after = (term.reshape(C, G, bg * D) + Lr).reshape(C, G * bg, D)
+    return s_after[:, :F]                                # (C, F, D)
 
 
-def _make_packed_kernel(precision, n2h: int):
+def _make_packed_kernel(precision, n2h: int, n1: int):
     """Fused chain kernel emitting the PACKED HALF SPECTRUM of each frame.
 
     The chain input is real, so the spectrum is Hermitian — computing and
@@ -147,16 +229,32 @@ def _make_packed_kernel(precision, n2h: int):
     [n2h, n2) the imaginary half.  One lane-roll + signed add combines
     them; output traffic is HALF the full-spectrum kernel's, in ONE plane.
 
+    The recombination is FREE: with the two stacked constant tables
+
+        P = [W2c[:h]; W2s[:h]],   Q = [-W2s[:h]; W2c[:h]]   (n2 x n2)
+
+    the single expression ``out = tr . P + ti . Q`` yields lanes [0, h) =
+    Re X (tr.Wc - ti.Ws) and lanes [h, n2) = Im X (tr.Ws + ti.Wc) — two
+    full-width MXU dots, no lane shuffles (an earlier roll+select variant
+    crashed the Mosaic compiler at r >= 16 and lowered slowly at r = 8).
+
     The Nyquist bin X[N/2] (real for real input) is packed into the
     Im X[0] slot (k1 = 0, lane n2h) — the FFTW halfcomplex convention.
     X[N/2] = sum_t tr[k1=0, :, t] * (-1)^t since W2[n2/2, t] = (-1)^t.
+
+    Step 1 contracts with the STACKED table [W1c; W1s] (2 n1, n1): the MXU
+    cost of a dot is ceil(M/128) ceil(K/128) ceil(N/128) full passes
+    regardless of how little of each 128-tile is used, so two separate
+    (n1, n1) x (n1, r n2) dots at n1 = 32 burn 2x16 passes at 1/16
+    utilization — stacking doubles M to 64 and halves the pass count for
+    free (measured: the step-1 pair was ~2/3 of all kernel MXU passes).
     """
     prec = (jax.lax.Precision.DEFAULT
             if precision == jax.lax.Precision.DEFAULT
             else jax.lax.Precision.HIGHEST)
 
-    def body(x_ref, s_ref, h_ref, phi_ref, w1c_ref, w1s_ref, w2cs_ref,
-             tc_ref, ts_ref, o_ref):
+    def body(x_ref, s_ref, h_ref, phi_ref, w1cs_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, o_ref):
         dtype = x_ref.dtype
 
         def make_dot(contract_axis):
@@ -174,43 +272,158 @@ def _make_packed_kernel(precision, n2h: int):
         # IIR block conv in VMEM (see _make_fused_kernel).
         y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
 
-        # Four-step FFT, steps 1-2 (real input: two step-1 dots).
-        c_r = dot1f(w1c_ref[:], y)
-        s_r = dot1f(w1s_ref[:], y)
+        # Four-step FFT, steps 1-2: ONE stacked step-1 dot, then sublane
+        # halves (8-aligned slices) split the cos/sin planes.
+        cs = dot1f(w1cs_ref[:], y)
+        c_r = cs[:n1]
+        s_r = cs[n1:]
         T_c = tc_ref[:][:, None, :]
         T_s = ts_ref[:][:, None, :]
         tr = c_r * T_c - s_r * T_s
         ti = s_r * T_c + c_r * T_s
 
-        # Step 3, packed: A = [tr.Wc | tr.Ws], B = [ti.Wc | ti.Ws];
-        #   Re X = tr.Wc - ti.Ws = A - roll(B)   on lanes <  n2h
-        #   Im X = ti.Wc + tr.Ws = B + roll(A)?  -> A + roll(B) on >= n2h.
-        a = dot_lane(tr, w2cs_ref[:])
-        b = dot_lane(ti, w2cs_ref[:])
-        br = pltpu.roll(b, n2h, axis=2)
-        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
-        sign = jnp.where(lane < n2h, -1.0, 1.0).astype(dtype)
-        out = a + sign * br
+        # Step 3, packed: [Re X | Im X] in one register, two dots.
+        out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
 
-        # Nyquist into the Im X[0] slot (k1 = 0, lane n2h).
-        tl = jax.lax.broadcasted_iota(jnp.int32, tr.shape, 2)
-        alt = jnp.where(tl % 2 == 0, 1.0, -1.0).astype(dtype)
-        nyq = jnp.sum(tr[0:1] * alt[0:1], axis=2)    # (1, r)
-        k1i = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
-        o_ref[:] = jnp.where((k1i == 0) & (lane == n2h),
-                             nyq[:, :, None], out)
+        # Nyquist row fix (sublane k1 = 0 only): replace the Im X[0] == 0
+        # slot (lane n2h) with X[N/2].re.  Value-level select + two stores
+        # — never read o_ref back (a read-after-write on the output ref
+        # serializes the pipeline).
+        nyq = jnp.sum(tr[0] * alt_ref[:], axis=-1, keepdims=True)  # (r, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], 1)
+        o_ref[:] = out
+        o_ref[0] = jnp.where(lane == n2h, nyq, out[0])
 
     return body
 
 
-def _make_fused_kernel(precision):
+def _make_packed_fmajor_kernel(precision, n2h: int, n1: int):
+    """Packed half-spectrum kernel with FRAME-MAJOR output blocks.
+
+    The k1-major output array (n1, f_total, n2) makes every tile's store
+    32 scattered 8 KB chunks (one per k1 row, 8 MB apart) — measured 136
+    GB/s on the whole pipeline, the fused kernel's real bottleneck.  This
+    variant keeps the frame index LEADING through every step so each tile
+    writes ONE contiguous (r, n1, n2) block:
+
+        y  (r, n1, n2)   IIR, as before
+        cs (r, n2, 2 n1) step 1 contracts n1 with [W1c; W1s]^T
+        tr, ti (r, n2, n1)  twiddle in (t, k1) orientation
+        out (r, n1, n2)  step 3 contracts t with P^T / Q^T
+
+    The XLA-side bin reorder becomes a per-frame (n1, n2) -> (n2, n1)
+    minor-dims tile transpose (0, 2, 1) instead of hauling the frame axis
+    into the minor tiles.
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1t_ref, pt_ref, qt_ref,
+             tc_ref, ts_ref, alt_ref, o_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis, rhs_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (rhs_axis,)),
+                                   ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2, 1)
+        dot_mid = make_dot(1, 0)    # contract lhs middle dim with rhs rows
+
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+
+        # Step 1: (r, n1, n2) x (n1, 2 n1) -> (r, n2, 2 n1).
+        cs = dot_mid(y, w1t_ref[:])
+        c_r = cs[..., :n1]
+        s_r = cs[..., n1:]
+        # Step 2: twiddle, (n2, n1) orientation.
+        T_c = tc_ref[:][None]
+        T_s = ts_ref[:][None]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        # Step 3: contract t -> (r, n1, n2pack).
+        out = dot_mid(tr, pt_ref[:]) + dot_mid(ti, qt_ref[:])
+
+        # Nyquist into [f, k1 = 0, lane n2h] (see _make_packed_kernel).
+        nyq = jnp.sum(tr[:, :, 0] * alt_ref[:], axis=-1,
+                      keepdims=True)                       # (r, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                        (out.shape[0], out.shape[2]), 1)
+        o_ref[:] = out
+        o_ref[:, 0, :] = jnp.where(lane == n2h, nyq, out[:, 0, :])
+
+    return body
+
+
+def _make_packed_pair_kernel(precision, n2h: int, n1: int):
+    """Packed half-spectrum kernel with 2-frame block-diagonal step 1.
+
+    The stacked step-1 dot still wastes the MXU: M = 2 n1 = 64, K = n1 =
+    32 uses 1/8 of each 128x128 pass tile.  Grouping frame PAIRS on the
+    sublane axis (a FREE leading-dim reshape (r, n1, n2) -> (r/2, 2 n1,
+    n2)) and contracting with the block-diagonal table
+
+        B = [[W1cs, 0], [0, W1cs]]    (4 n1, 2 n1)
+
+    doubles both M and K: half the step-1 passes again (16 -> 8 per
+    r = 16 tile at n1 = 32).  Everything downstream runs per pair-half;
+    the output block gains a pair axis (n1, r/2, 2, n2) that the XLA-side
+    reorder folds back (frame f = 2 p + q is row-major in (p, q)).
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1p_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, o_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        r = y.shape[0]
+        y2 = y.reshape(r // 2, 2 * n1, y.shape[2])
+
+        cs = dot1f(w1p_ref[:], y2)   # (4 n1, r/2, n2)
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (r // 2, y.shape[2]), 1)
+        alt = alt_ref[:]
+        for qi in range(2):
+            c_r = cs[2 * n1 * qi: 2 * n1 * qi + n1]
+            s_r = cs[2 * n1 * qi + n1: 2 * n1 * (qi + 1)]
+            tr = c_r * T_c - s_r * T_s
+            ti = s_r * T_c + c_r * T_s
+            out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+            nyq = jnp.sum(tr[0] * alt, axis=-1, keepdims=True)
+            o_ref[:, :, qi, :] = out
+            o_ref[0, :, qi, :] = jnp.where(lane == n2h, nyq, out[0])
+
+    return body
+
+
+def _make_fused_kernel(precision, n1: int):
     # See kernels/fft.py _make_kernel: in-kernel dots run at HIGHEST unless
     # DEFAULT is explicitly requested (split-bf16 measured slower on v5e).
     prec = (jax.lax.Precision.DEFAULT
             if precision == jax.lax.Precision.DEFAULT
             else jax.lax.Precision.HIGHEST)
 
-    def body(x_ref, s_ref, h_ref, phi_ref, w1c_ref, w1s_ref, w2c_ref,
+    def body(x_ref, s_ref, h_ref, phi_ref, w1cs_ref, w2c_ref,
              w2s_ref, tc_ref, ts_ref, yr_ref, yi_ref):
         dtype = x_ref.dtype
 
@@ -231,9 +444,12 @@ def _make_fused_kernel(precision):
         y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
 
         # --- four-step FFT, all intermediates 128-lane -----------------
-        # step 1: W1 (k1, n1) x y (r, n1, n2) contract n1 -> (k1, r, n2)
-        c_r = dot1f(w1c_ref[:], y)
-        s_r = dot1f(w1s_ref[:], y)
+        # step 1, stacked [W1c; W1s] (2 n1, n1) x y (r, n1, n2): one dot,
+        # half the MXU passes of the separate pair (_make_packed_kernel
+        # docstring); sublane halves split the planes.
+        cs = dot1f(w1cs_ref[:], y)
+        c_r = cs[:n1]
+        s_r = cs[n1:]
         # step 2: twiddle T (k1, n2), broadcast over frames (middle axis).
         T_c = tc_ref[:][:, None, :]
         T_s = ts_ref[:][:, None, :]
@@ -247,10 +463,12 @@ def _make_fused_kernel(precision):
 
 
 def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
-                       s0: jnp.ndarray, *, frames_per_tile: int = 16,
+                       s0: jnp.ndarray, *, frames_per_tile: int = 32,
                        precision=None, interpret: bool = False,
                        axis_name: Optional[str] = None,
                        shard_powers: Optional[np.ndarray] = None,
+                       half_spectrum: bool = False,
+                       pair_step1: Optional[bool] = None,
                        _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
@@ -264,11 +482,20 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
       shard_powers: required with axis_name — host-precomputed
         (n_shards + 1, D, D) stack of Fs^p, Fs = Ff^{frames_per_shard}
         (see :meth:`FusedNorthStarOperators.shard_powers`).
-    Returns ((spec_re, spec_im) each (C, F, n2, n1), s_final (C, D)).
-    The spectra's last two axes flatten (freely, outside jit) to the
-    natural bin order: reshape(C, F, fft_size).
+      half_spectrum: emit the PACKED ONE-SIDED spectrum (real input is
+        Hermitian): half the step-3 matmuls, half the output traffic, half
+        the reorder-transpose bytes.  Returns planes (C, F, n2/2, n1)
+        whose flattened bin order is k = k1 + n1*k2 for k < N/2, with
+        X[N/2].re packed in the imag plane's bin-0 slot (FFTW halfcomplex;
+        see ops.fft.unpack_rfft_ri).
+
+    Returns ((spec_re, spec_im) each (C, F, n2, n1) — or (C, F, n2/2, n1)
+    with half_spectrum — and s_final (C, D)).  The spectra's last two axes
+    flatten (freely, outside jit) to natural bin order.
     """
     n1, n2, N = ops.n1, ops.n2, ops.fft_size
+    if half_spectrum and n2 % 2:
+        raise ValueError(f"half_spectrum requires even n2, got {n2}")
     if x.ndim == 4:
         # Pre-framed input (C, F, n1, n2) — the same samples as (C, T) in
         # the same order, but already in the kernel's tiling, so the
@@ -286,31 +513,35 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     dtype = x.dtype
 
     prec_x = precision or jax.lax.Precision.HIGHEST
-    kx = jnp.einsum("dj,cfbj->cfbd", ops.K, xsub,
-                    preferred_element_type=dtype, precision=prec_x)
-    k_frame = jnp.einsum("jde,cfje->cfd", ops.Wlast, kx,
-                         preferred_element_type=dtype, precision=prec_x)
+    f_total = c * nf
+    # ONE dense matmul from the framed input to all prepass vectors: the
+    # sub-block start input-parts and the frame-k rows (TKt docstring in
+    # FusedNorthStarOperators.__init__).
+    x_flat = xsub.reshape(f_total, N)
+    big = _tdot(x_flat, ops.TKt, prec_x, dtype)    # (cf, (nb + 1) D)
+    if _debug_stage == "kx":
+        return ((big, big), big[-1:, -D:])
+    kxs = big[:, : n1 * D]                         # starts, input part
+    k_frame = big[:, n1 * D:].reshape(c, nf, D)
+    if _debug_stage == "kframe":
+        return ((k_frame, k_frame), k_frame[:, -1])
 
-    # Frame-level scan (C-batched, D-dim — negligible).
+    # Frame-level state chain: two-level block-Toeplitz prefix.
     kf_t = jnp.moveaxis(k_frame, 1, 0)  # (F, C, D)
-
-    def step(s, k):
-        return jnp.einsum("de,ce->cd", ops.Ff, s,
-                          preferred_element_type=dtype,
-                          precision=prec_x) + k, s
+    tabs = ops.frame_prefix_tables(nf)
+    L_, W_, vc_last = _frame_prefix_start(tabs, kf_t, prec_x, dtype)
 
     if axis_name is None:
         s_local_in = s0
     else:
-        # Sequence-parallel: zero-init local scan gives this shard's
-        # input-driven final state; the closed form over one all_gather
-        # yields the shard's true incoming state (cf. parallel/iir.py).
+        # Sequence-parallel: vc_last is this shard's input-driven final
+        # state; the closed form over one all_gather yields the shard's
+        # true incoming state (cf. parallel/iir.py).
         if shard_powers is None:
             raise ValueError("axis_name requires shard_powers")
         apow = jnp.asarray(shard_powers, dtype=dtype)
         n_sh = shard_powers.shape[0] - 1
-        zero = jax.lax.pcast(jnp.zeros_like(s0), axis_name, to="varying")
-        k_shard, _ = jax.lax.scan(step, zero, kf_t)
+        k_shard = vc_last
         kall = jax.lax.all_gather(k_shard, axis_name)  # (P, C, D)
         i = jax.lax.axis_index(axis_name)
         j = jnp.arange(n_sh)
@@ -324,8 +555,14 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                                    preferred_element_type=dtype,
                                    precision=prec_x))
 
-    s_fin, s_frames = jax.lax.scan(step, s_local_in, kf_t)
-    s_frames = jnp.moveaxis(s_frames, 0, 1)  # (C, F, D) frame starts
+    # States after each frame; frame STARTS prepend the incoming state.
+    s_after = _frame_prefix_finish(tabs, L_, W_, s_local_in, nf, prec_x,
+                                   dtype)
+    s_fin = s_after[:, -1]
+    s_frames = jnp.concatenate([s_local_in[:, None], s_after[:, :-1]],
+                               axis=1)                  # (C, F, D)
+    if _debug_stage == "prefix":
+        return ((s_frames, s_frames), s_fin)
 
     if axis_name is not None:
         # Replicated GLOBAL final state via psum (streaming handoff).
@@ -338,15 +575,11 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                                            precision=prec_x),
                                 axis_name))
 
-    # Sub-block start expansion: one (nb*D, nb*D) matmul per frame.
-    v = jnp.concatenate([s_frames[:, :, None, :], kx[:, :, :n1 - 1]], axis=2)
-    v2 = v.reshape(c * nf, n1 * D)
-    starts = jnp.einsum("pq,fq->fp", jnp.asarray(ops.U2), v2,
-                        preferred_element_type=dtype, precision=prec_x)
-    starts = starts.reshape(c, nf, n1, D)
+    # Sub-block start expansion: state part + input part, both flat.
+    starts = _tdot(s_frames.reshape(f_total, D), ops.FpT, prec_x,
+                   dtype) + kxs
 
     # ---- fused Pallas kernel over frame tiles ----
-    f_total = c * nf
     x3 = xsub.reshape(f_total, n1, n2)
     s3 = starts.reshape(f_total, n1, D)
     if _debug_stage == "prepass":
@@ -364,9 +597,11 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
 
     _, _, w1c, w1s, w2c, w2s, tc, ts = _consts(N, False, np.dtype(dtype).name)
     # dot_lane contracts b's axis 1 (the "in" index), so H (out, in) and
-    # Phi (out, D) are passed as-is.
+    # Phi (out, D) are passed as-is.  Step-1 cos/sin enter STACKED (2 n1,
+    # n1) — one fat dot instead of two 1/16-utilization ones.
+    w1cs = np.concatenate([w1c, w1s], axis=0)
     tables = (ops.H, ops.Phi) + tuple(
-        np.ascontiguousarray(a) for a in (w1c, w1s, w2c, w2s, tc.T, ts.T))
+        np.ascontiguousarray(a) for a in (w1cs, w2c, w2s, tc.T, ts.T))
     vma = _vma(x3)
     if vma:
         # Under shard_map every kernel operand must carry matching varying
@@ -385,7 +620,99 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         return pl.BlockSpec(a.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = _make_fused_kernel(precision)
+    if half_spectrum:
+        # Packed half-spectrum kernel: stacked P/Q step-3 tables + the
+        # Nyquist (-1)^t row, ONE output plane (see _make_packed_kernel).
+        h = n2 // 2
+        p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
+        q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
+        alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
+        # Pairing halves step-1 MXU passes but makes the XLA bin-reorder a
+        # 4-D transpose (measured slower than the MXU gain at r = 16 on
+        # v5e — the kernel is DMA-floor-bound, not step-1-bound), so
+        # default is the frame-major kernel.
+        pair = (r % 2 == 0) if pair_step1 else False
+        fmajor = not pair
+        if pair:
+            # Block-diagonal 2-frame step-1 table
+            # (_make_packed_pair_kernel docstring).
+            w1cs_t = tables[2]
+            w1p = np.zeros((4 * n1, 2 * n1), dtype=p_tab.dtype)
+            w1p[: 2 * n1, :n1] = w1cs_t
+            w1p[2 * n1:, n1:] = w1cs_t
+            tables = tables[:2] + (np.ascontiguousarray(w1p),) + tables[3:]
+        if fmajor:
+            # Frame-major kernel: transposed step-1/3 tables, twiddles in
+            # (n2, k1) orientation (_make_packed_fmajor_kernel docstring).
+            tables = tables[:2] + (
+                np.ascontiguousarray(tables[2].T),
+                np.ascontiguousarray(p_tab.T),
+                np.ascontiguousarray(q_tab.T),
+                np.ascontiguousarray(tc), np.ascontiguousarray(ts), alt)
+        else:
+            tables = tables[:3] + (p_tab, q_tab) + tables[5:] + (alt,)
+        if vma:
+            tables = tuple(
+                t if isinstance(t, jnp.ndarray) else jax.lax.pcast(
+                    jnp.asarray(t), tuple(vma), to="varying")
+                for t in tables)
+        if pair:
+            kernel = _make_packed_pair_kernel(precision, h, n1)
+            out_blk_p = pl.BlockSpec((n1, r // 2, 2, n2),
+                                     lambda i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((n1, f_total // 2, 2, n2),
+                                             dtype, vma=_vma(x3))
+        elif fmajor:
+            kernel = _make_packed_fmajor_kernel(precision, h, n1)
+            out_blk_p = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((f_total, n1, n2), dtype,
+                                             vma=_vma(x3))
+        else:
+            kernel = _make_packed_kernel(precision, h, n1)
+            out_blk_p = out_blk
+            out_shape = jax.ShapeDtypeStruct((n1, f_total, n2), dtype,
+                                             vma=_vma(x3))
+        out = pl.pallas_call(
+            kernel,
+            grid=(f_total // r,),
+            in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
+            out_specs=out_blk_p,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=int(8 * N * (n1 + n2) * f_total),
+                bytes_accessed=2 * f_total * N * np.dtype(dtype).itemsize,
+                transcendentals=0),
+            interpret=interpret,
+        )(x3, s3, *tables)
+        if _debug_stage == "kernel":
+            return ((out, out), s_fin)
+        # Bin reorder on the HALVED data: ONE transpose (k1, f, n2) ->
+        # (f, n2, k1) on the full 128-lane block, THEN split re/im halves
+        # as cheap middle-axis slices (slicing lanes BEFORE the transpose
+        # produced two 64-lane transposes at ~1/2 DMA bandwidth each).
+        # Flattening the last two axes (outside jit, free) gives the packed
+        # one-sided order k = k1 + n1*k2, k2 < n2/2, with X[N/2].re in the
+        # imag plane's bin-0 slot (FFTW halfcomplex — see
+        # ops.fft.unpack_rfft_ri for the pure N/2+1 form).
+        if pair:
+            z = jax.lax.transpose(out, (1, 2, 3, 0))  # (f/2, 2, n2, n1)
+            zr = z[:, :, :h]
+            zi = z[:, :, h:]
+        elif fmajor:
+            # Per-frame (n1, n2) -> (n2, n1) tile transpose: the frame
+            # axis never enters the minor tiles.
+            z = jax.lax.transpose(out, (0, 2, 1))     # (f, n2, n1)
+            zr = z[:, :h]
+            zi = z[:, h:]
+        else:
+            z = jax.lax.transpose(out, (1, 2, 0))
+            zr = z[:, :h]
+            zi = z[:, h:]
+        return ((zr.reshape(c, nf, h, n1), zi.reshape(c, nf, h, n1)), s_fin)
+
+    kernel = _make_fused_kernel(precision, n1)
     yr, yi = pl.pallas_call(
         kernel,
         grid=(f_total // r,),

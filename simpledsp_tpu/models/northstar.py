@@ -44,8 +44,14 @@ class NorthStarChain:
     """Streaming IIR -> framed FFT on one device.
 
     Call with x: (C, T), T a multiple of fft_size; returns
-    (((spec_re, spec_im) each (C, T // fft_size, fft_size)), state) — RI
-    float planes (TPU-native; complex never materializes).
+    (((spec_re, spec_im) each (C, T // fft_size, fft_size // 2)), state) —
+    RI float planes (TPU-native; complex never materializes) holding the
+    PACKED ONE-SIDED spectrum of each frame: the input is real, so bins
+    above N/2 are conjugate-redundant and are never computed, written, or
+    reordered (half the FFT matmuls and output traffic).  Bin k of the
+    planes is X[k] for k < N/2; the (real) Nyquist bin X[N/2] is packed in
+    ``spec_im[..., 0]`` (the Im X[0] == 0 slot — FFTW halfcomplex
+    convention).  ``ops.fft.unpack_rfft_ri`` recovers the pure N/2+1 form.
     """
 
     def __init__(self, design: Optional[BiquadCascadeDesign] = None,
@@ -54,6 +60,8 @@ class NorthStarChain:
                  use_pallas: Optional[bool] = None):
         self.design = design or default_design()
         self.fft_size = int(fft_size)
+        if self.fft_size % 2:
+            raise ValueError("fft_size must be even (one-sided output)")
         self.dtype = dtype
         self.precision = precision
         self.iir = BlockIIR(self.design, block_size=block_size, dtype=dtype,
@@ -76,19 +84,17 @@ class NorthStarChain:
         self._jit = jax.jit(self._forward)
 
     def _forward(self, x: jnp.ndarray, s0: jnp.ndarray):
-        """Jittable body: x (C, T); s0 flat state (C, D).  Returns RI
-        spectra planes ((C, F, N), (C, F, N)) and the final state."""
+        """Jittable body: x (C, T); s0 flat state (C, D).  Returns packed
+        one-sided RI spectra planes (each (C, F, N/2)) and the final
+        state."""
         if self._fused_ops is not None:
             return _kchain.fused_chain_frames(
-                self._fused_ops, x, s0, precision=self.precision)
+                self._fused_ops, x, s0, precision=self.precision,
+                half_spectrum=True)
         y, s_fin = self.iir.run_blocks(
             x.reshape(x.shape[0], -1, self.iir.block_size), s0)
         y = y.reshape(x.shape[0], -1, self.fft_size)
-        if self.use_pallas:
-            sr, si = _kfft.rfft_frames(y, frames_per_tile=32,
-                                       precision=self.precision)
-        else:
-            sr, si = _fft.fft_ri(y, jnp.zeros_like(y))
+        sr, si = _fft.pack_rfft_ri(*_fft.rfft_ri(y))
         return (sr, si), s_fin
 
     def __call__(self, x: jnp.ndarray,
@@ -121,8 +127,8 @@ class NorthStarChain:
         s0 = state.y_hist.reshape(c, -1)
         (sr, si), s_fin = self._jit(x.astype(self.dtype), s0)
         if sr.ndim == 4:   # fused path: free flatten to natural bin order
-            sr = sr.reshape(c, -1, self.fft_size)
-            si = si.reshape(c, -1, self.fft_size)
+            sr = sr.reshape(c, -1, self.fft_size // 2)
+            si = si.reshape(c, -1, self.fft_size // 2)
         return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))
 
     def frame_input(self, x_host: "np.ndarray") -> jnp.ndarray:
@@ -143,7 +149,9 @@ class ShardedNorthStarChain:
     Channels shard over ``dp``; time shards over ``sp``.  The IIR runs
     sequence-parallel (one ICI all_gather + psum of D-dim state vectors,
     parallel/iir.py); each shard then frames its own output and FFTs
-    locally — zero cross-device traffic in the FFT.
+    locally — zero cross-device traffic in the FFT.  Output spectra are
+    packed one-sided planes (C, T // fft_size, fft_size // 2), exactly as
+    :class:`NorthStarChain` (see its docstring for the bin layout).
     """
 
     def __init__(self, mesh: Mesh,
@@ -154,6 +162,8 @@ class ShardedNorthStarChain:
         self.mesh = mesh
         self.design = design or default_design()
         self.fft_size = int(fft_size)
+        if self.fft_size % 2:
+            raise ValueError("fft_size must be even (one-sided output)")
         self.dtype = dtype
         self.precision = precision
         self.iir = ShardedBlockIIR(self.design, mesh, block_size=block_size,
@@ -186,7 +196,7 @@ class ShardedNorthStarChain:
                     return _kchain.fused_chain_frames(
                         self._fused_ops, xl, s0, precision=self.precision,
                         axis_name=SEQ_AXIS, shard_powers=spw,
-                        interpret=self._interpret)
+                        half_spectrum=True, interpret=self._interpret)
 
                 spectra_spec = (P(DATA_AXIS, SEQ_AXIS, None, None),
                                 P(DATA_AXIS, SEQ_AXIS, None, None))
@@ -197,12 +207,7 @@ class ShardedNorthStarChain:
                 def local_fn(xl, s0):
                     y, s_fin = self.iir._local(apow, xl, s0)
                     frames = y.reshape(y.shape[0], -1, self.fft_size)
-                    if self.use_pallas:
-                        sr, si = _kfft.rfft_frames(
-                            frames, frames_per_tile=32,
-                            precision=self.precision)
-                    else:
-                        sr, si = _fft.fft_ri(frames, jnp.zeros_like(frames))
+                    sr, si = _fft.pack_rfft_ri(*_fft.rfft_ri(frames))
                     return (sr, si), s_fin
 
                 spectra_spec = (P(DATA_AXIS, SEQ_AXIS, None),
@@ -236,6 +241,6 @@ class ShardedNorthStarChain:
         s0 = state.y_hist.reshape(c, -1)
         (sr, si), s_fin = self._build(c, t)(x.astype(self.dtype), s0)
         if sr.ndim == 4:   # fused path: free flatten to natural bin order
-            sr = sr.reshape(c, -1, self.fft_size)
-            si = si.reshape(c, -1, self.fft_size)
+            sr = sr.reshape(c, -1, self.fft_size // 2)
+            si = si.reshape(c, -1, self.fft_size // 2)
         return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft_ri", "ifft_ri",
-           "rfft_ri", "irfft_ri", "fft_radix2", "fft_radix4", "dft_matrix"]
+           "rfft_ri", "irfft_ri", "pack_rfft_ri", "unpack_rfft_ri",
+           "fft_radix2", "fft_radix4", "dft_matrix"]
 
 # Largest size computed as one dense DFT matmul.  128 keeps the operand a
 # (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
@@ -298,6 +299,27 @@ def irfft_ri(xr: jnp.ndarray, xi: jnp.ndarray,
     zi = ei + (wr * orr - wp * oi)
     zr, zi = ifft_ri(zr, zi)
     return jnp.stack([zr, zi], axis=-1).reshape(zr.shape[:-1] + (n,))
+
+
+def pack_rfft_ri(yr: jnp.ndarray, yi: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack a pure one-sided spectrum ((..., N/2+1) planes, even N) into the
+    FFTW-halfcomplex-style N/2-bin form the fused chain kernel emits:
+    DC..bin N/2-1 in both planes, with X[N/2].re (real for real input)
+    stored in the imag plane's bin-0 slot (Im X[0] == 0)."""
+    pr = yr[..., :-1]
+    pi = jnp.concatenate([yr[..., -1:], yi[..., 1:-1]], axis=-1)
+    return pr, pi
+
+
+def unpack_rfft_ri(pr: jnp.ndarray, pi: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`pack_rfft_ri`: (..., N/2) packed planes ->
+    (..., N/2+1) pure one-sided (re, im) planes."""
+    zero = jnp.zeros_like(pi[..., :1])
+    yr = jnp.concatenate([pr, pi[..., :1]], axis=-1)
+    yi = jnp.concatenate([zero, pi[..., 1:], zero], axis=-1)
+    return yr, yi
 
 
 def rfft(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:

@@ -28,8 +28,13 @@ def mesh():
 
 
 def _oracle_spectra(design, x):
+    """Packed one-sided oracle: scipy sosfilt (f64) + numpy rfft, packed to
+    the chain's N/2-bin halfcomplex layout (Nyquist.re in imag bin 0)."""
     y = sig.sosfilt(sos_matrix(design), np.asarray(x, np.float64), axis=-1)
-    return np.fft.fft(y.reshape(x.shape[0], -1, 4096))
+    full = np.fft.rfft(y.reshape(x.shape[0], -1, 4096))
+    pr = full.real[..., :-1]
+    pi = np.concatenate([full.real[..., -1:], full.imag[..., 1:-1]], axis=-1)
+    return pr + 1j * pi
 
 
 class TestNorthStarChain:
@@ -39,7 +44,22 @@ class TestNorthStarChain:
         (sr, si), state = chain(jnp.asarray(x))
         ref = _oracle_spectra(chain.design, x)
         got = np.asarray(sr) + 1j * np.asarray(si)
-        assert got.shape == ref.shape == (2, 4, 4096)
+        assert got.shape == ref.shape == (2, 4, 2048)
+        assert np.abs(got - ref).max() < 1e-9
+
+    def test_unpack_matches_numpy_rfft(self, rng):
+        """unpack_rfft_ri on the chain output == numpy rfft of the
+        filtered signal (the pure N/2+1 one-sided form)."""
+        from simpledsp_tpu.ops.fft import unpack_rfft_ri
+        chain = NorthStarChain(dtype=jnp.float64, use_pallas=False)
+        x = rng.standard_normal((1, 8192))
+        (sr, si), _ = chain(jnp.asarray(x))
+        yr, yi = unpack_rfft_ri(sr, si)
+        y = sig.sosfilt(sos_matrix(chain.design), x.astype(np.float64),
+                        axis=-1)
+        ref = np.fft.rfft(y.reshape(1, -1, 4096))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert got.shape == ref.shape == (1, 2, 2049)
         assert np.abs(got - ref).max() < 1e-9
 
     def test_streaming_state(self, rng):
@@ -69,9 +89,12 @@ class TestNorthStarChain:
         (ar, ai), s_a = plain(jnp.asarray(x))
         s0 = jnp.zeros((1, ops.state_dim), jnp.float64)
         (br, bi), s_b = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                           half_spectrum=True,
                                            interpret=True)
-        np.testing.assert_allclose(np.asarray(br).reshape(1, -1, 4096),
+        np.testing.assert_allclose(np.asarray(br).reshape(1, -1, 2048),
                                    np.asarray(ar), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(bi).reshape(1, -1, 2048),
+                                   np.asarray(ai), atol=1e-9)
         np.testing.assert_allclose(np.asarray(s_b),
                                    np.asarray(s_a.y_hist).reshape(1, -1),
                                    atol=1e-10)
