@@ -23,15 +23,14 @@ def main():
     import jax.numpy as jnp
     from simpledsp_tpu.models.northstar import NorthStarChain
 
-    # 256 channels x 1M samples = 268 Msamples/call (f32 in, packed
+    # 64 channels x 1M samples = 67 Msamples/call (f32 in, packed
     # one-sided spectra out).  Streaming pipeline: state chained
     # call-to-call, sync only at the end — the production pattern, and it
     # hides this runtime's ~25 ms dispatch latency behind device compute.
-    # Per-call batch sized to amortize the measured ~3.3 ms fixed
-    # dispatch cost of pallas-containing executables on this runtime
-    # (PERF.md "dispatch overhead"): at 268 Msamples/call it is <20% of
-    # the call; the marginal rate is what the chip actually sustains.
-    c, t = 256, 1 << 20
+    # Batch size does NOT move the chained-loop rate (measured flat
+    # 64/128/256 channels, tools/bench_headline.py) — cost is purely
+    # per-sample once the pipeline is full.
+    c, t = 64, 1 << 20
     # HIGH prepass einsums (~3-pass bf16) + in-kernel HIGHEST dots:
     # 137 dB SNR vs the f64 reference (gate: 90 dB).
     chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,

@@ -468,7 +468,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        axis_name: Optional[str] = None,
                        shard_powers: Optional[np.ndarray] = None,
                        half_spectrum: bool = False,
-                       pair_step1: Optional[bool] = None,
+                       layout: str = "k1",
                        _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
@@ -488,6 +488,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         whose flattened bin order is k = k1 + n1*k2 for k < N/2, with
         X[N/2].re packed in the imag plane's bin-0 slot (FFTW halfcomplex;
         see ops.fft.unpack_rfft_ri).
+      layout: half-spectrum kernel variant — "k1" (k1-major blocks: every
+        intermediate keeps the 128-lane n2 axis; stores scatter across the
+        leading k1 dim), "fmajor" (frame-major contiguous stores, but
+        32-64-lane intermediates), or "pair" (2-frame block-diagonal
+        step 1; 4-D reorder transpose).  Measured e2e on v5e (c=64, HIGH):
+        k1 is fastest — see tools/bench_chain_v2.py.
 
     Returns ((spec_re, spec_im) each (C, F, n2, n1) — or (C, F, n2/2, n1)
     with half_spectrum — and s_final (C, D)).  The spectra's last two axes
@@ -627,12 +633,10 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
         q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
         alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
-        # Pairing halves step-1 MXU passes but makes the XLA bin-reorder a
-        # 4-D transpose (measured slower than the MXU gain at r = 16 on
-        # v5e — the kernel is DMA-floor-bound, not step-1-bound), so
-        # default is the frame-major kernel.
-        pair = (r % 2 == 0) if pair_step1 else False
-        fmajor = not pair
+        if layout not in ("k1", "fmajor", "pair"):
+            raise ValueError(f"unknown layout {layout!r}")
+        pair = layout == "pair" and r % 2 == 0
+        fmajor = layout == "fmajor"
         if pair:
             # Block-diagonal 2-frame step-1 table
             # (_make_packed_pair_kernel docstring).

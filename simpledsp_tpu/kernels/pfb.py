@@ -27,10 +27,17 @@ tests/test_channelizer_demod.py):
     ub[m, g] = u[g, M-1-m] = sum_j taps_t[m, j] * Ft[m, g+K-1-j]
     y[c, g]  = sum_m Wf[c, m] ub[m, g],   Wf[c, m] = e^{+2 pi i c(M-1-m)/M}
 
-Each grid step manually DMAs its (M, gt + halo) overlapping tile from HBM
-(overlap = the K-1 frame halo; plain BlockSpecs cannot express it), and
-the FM phase carry lives in VMEM scratch across the sequential grid —
-exact streaming semantics with zero recompute at tile seams.
+P = 128 // M streams are PACKED on the sublane axis per grid step (a free
+(B, M, nfr) -> (B/P, P*M, nfr) leading-dims view): the cross-branch DFT
+becomes ONE stacked block-diagonal (2PM, PM) dot per plane serving all P
+streams — a per-stream (16, 16) dot uses 1/64 of every 128x128 MXU pass,
+so packing + cos/sin stacking cuts MXU passes 16x (measured: the unpacked
+HIGHEST dots were ~80% of the kernel).  Each flat grid step manually DMAs
+its (PM, gt + halo) overlapping tile from HBM (overlap = the K-1 frame
+halo; plain BlockSpecs cannot express it) through a 2-slot prefetch ring
+(step s issues s+1's copy before its own wait), and the FM phase carry
+lives in VMEM scratch across the sequential grid — exact streaming
+semantics with zero recompute at tile seams.
 
 Mosaic alignment contract (learned on-chip: a gt + K - 1 = 527-lane slice
 fails "must be aligned to tiling (128)"): compiled DMA slices need
@@ -75,6 +82,30 @@ class PFBOperators:
         self.wfc = np.cos(ang).astype(npdt)
         self.wfs = np.sin(ang).astype(npdt)
         self.dtype = dtype
+        self._packed = {}
+
+    def packed_tables(self, p: int):
+        """Tables for P streams packed on the sublane axis: taps tiled to
+        (P M, K) and the STACKED block-diagonal DFT matrix (2 P M, P M) —
+        rows [0, PM) are cos blocks, [PM, 2 PM) sin blocks.
+
+        Per-stream (M, M) DFT dots at M = 16 use 1/64 of every 128x128 MXU
+        pass; packing 128 // M streams fills the sublane/contraction tiles
+        (one dot per plane serves all P streams), and stacking cos over sin
+        halves the dot count again.
+        """
+        if p in self._packed:
+            return self._packed[p]
+        m = self.m
+        wc = np.zeros((p * m, p * m), dtype=self.wfc.dtype)
+        ws = np.zeros((p * m, p * m), dtype=self.wfs.dtype)
+        for q in range(p):
+            wc[q * m:(q + 1) * m, q * m:(q + 1) * m] = self.wfc
+            ws[q * m:(q + 1) * m, q * m:(q + 1) * m] = self.wfs
+        tabs = (np.ascontiguousarray(np.tile(self.taps_t, (p, 1))),
+                np.ascontiguousarray(np.concatenate([wc, ws], axis=0)))
+        self._packed[p] = tabs
+        return tabs
 
 
 def _atan2(y, x):
@@ -111,107 +142,148 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
-def _fir_dft(scr_r, scr_i, taps_ref, wfc_ref, wfs_ref, gt: int, k: int,
-             prec):
-    """Shared tile core: branch FIRs + cross-branch inverse DFT.
+def _fir_packed(vr, vi, taps_ref, gt: int, k: int):
+    """Branch FIRs on loaded (PM, gt + halo) registers -> (ur, ui) (PM, gt).
 
-    scr_* hold (M, gt + halo) frame tiles; returns (yr, yi) each (M, gt).
+    The k lag lines are static value-level lane slices (VPU shifts) of the
+    loaded registers — zero wasted MACs.
     """
-    dtype = scr_r.dtype
-    # ONE aligned load per plane; the k lag lines are static value-level
-    # lane slices (VPU shifts) of the loaded registers.
-    vr = scr_r[:]
-    vi = scr_i[:]
     ur = None
     ui = None
     for j in range(k):
-        t = taps_ref[:, j][:, None]           # (M, 1), lane-broadcast
+        t = taps_ref[:, j][:, None]           # (PM, 1), lane-broadcast
         lag = k - 1 - j
         fr = t * vr[:, lag: lag + gt]
         fi = t * vi[:, lag: lag + gt]
         ur = fr if ur is None else ur + fr
         ui = fi if ui is None else ui + fi
+    return ur, ui
+
+
+def _dft_packed(ur, ui, wst_ref, pm: int, prec):
+    """Cross-branch inverse DFT for all P packed streams at once: ONE
+    stacked block-diagonal dot per plane (PFBOperators.packed_tables)."""
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=dtype, precision=prec)
-    yr = dot(wfc_ref[:], ur) - dot(wfs_ref[:], ui)
-    yi = dot(wfc_ref[:], ui) + dot(wfs_ref[:], ur)
+        preferred_element_type=ur.dtype, precision=prec)
+    cu = dot(wst_ref[:], ur)                  # [wfc.ur ; wfs.ur]
+    cv = dot(wst_ref[:], ui)                  # [wfc.ui ; wfs.ui]
+    yr = cu[:pm] - cv[pm:]
+    yi = cv[:pm] + cu[pm:]
     return yr, yi
 
 
-def _copy_tile(x_ref, b, start, scr, sem):
-    return pltpu.make_async_copy(
-        x_ref.at[b, :, pl.ds(start, scr.shape[1])], scr, sem)
+def _make_packed_body(mode: str, gt: int, k: int, pm: int, ntiles: int,
+                      total: int, halo: int, gain: float, prec,
+                      dec: int = 1, kd: int = 0):
+    """Flat-grid kernel body: step s covers stream-group bb = s // ntiles,
+    time tile i = s % ntiles.  Input tiles are manually DMAed with a
+    2-slot prefetch ring (step s issues s + 1's copy before waiting on its
+    own), so the copy engine runs a tile ahead of compute — the old
+    start-then-wait-in-step form left the DMA entirely serialized.
 
+    With dec > 1 ("fm_dec"/"am_dec") the audio decimator is FUSED: the
+    demodulated tile is contracted with a constant (kd-1+gt, gt/dec)
+    Toeplitz tap matrix on the MXU (the separate XLA strided conv measured
+    ~0.7 Tflop/s and re-read the 4x-larger pre-decimation signal from
+    HBM), with the kd-1-sample FIR history carried in VMEM scratch —
+    bit-matching the streaming PolyphaseResampler (ops/fir.py) contract.
+    """
 
-def _make_fm_kernel(gt: int, k: int, gain: float, prec):
-    def body(xr_ref, xi_ref, pr_ref, pi_ref, taps_ref, wfc_ref, wfs_ref,
-             o_ref, ylr_ref, yli_ref, scr_r, scr_i, cr, ci, sems):
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        dma_r = _copy_tile(xr_ref, b, i * gt, scr_r, sems.at[0])
-        dma_i = _copy_tile(xi_ref, b, i * gt, scr_i, sems.at[1])
-        dma_r.start()
-        dma_i.start()
+    def body(xr_ref, xi_ref, *rest):
+        if mode == "fm":
+            (pr_ref, pi_ref, taps_ref, wst_ref, o_ref, ylr_ref, yli_ref,
+             scr_r, scr_i, cr, ci, sem_r, sem_i) = rest
+        elif mode == "fm_dec":
+            (pr_ref, pi_ref, ah_ref, taps_ref, wst_ref, dmat_ref, o_ref,
+             ylr_ref, yli_ref, aho_ref, scr_r, scr_i, cr, ci, acr,
+             sem_r, sem_i) = rest
+        elif mode == "am":
+            taps_ref, wst_ref, o_ref, scr_r, scr_i, sem_r, sem_i = rest
+        elif mode == "am_dec":
+            (ah_ref, taps_ref, wst_ref, dmat_ref, o_ref, aho_ref,
+             scr_r, scr_i, acr, sem_r, sem_i) = rest
+        else:  # chan
+            (taps_ref, wst_ref, or_ref, oi_ref, scr_r, scr_i,
+             sem_r, sem_i) = rest
+        s = pl.program_id(0)
+        i32 = lambda v: jnp.asarray(v, s.dtype)  # noqa: E731
 
-        @pl.when(i == 0)
+        def dma(x_ref, scr, sem, step, slot):
+            bb = step // i32(ntiles)
+            ii = step - bb * i32(ntiles)
+            return pltpu.make_async_copy(
+                x_ref.at[bb, :, pl.ds(ii * i32(gt), gt + halo)],
+                scr.at[slot], sem.at[slot])
+
+        @pl.when(s == 0)
         def _():
-            # Fresh stream shard: phase carry from the demod state.
+            dma(xr_ref, scr_r, sem_r, i32(0), 0).start()
+            dma(xi_ref, scr_i, sem_i, i32(0), 0).start()
+
+        @pl.when(s + 1 < total)
+        def _():
+            nslot = jax.lax.rem(s + i32(1), i32(2))
+            dma(xr_ref, scr_r, sem_r, s + i32(1), nslot).start()
+            dma(xi_ref, scr_i, sem_i, s + i32(1), nslot).start()
+
+        slot = jax.lax.rem(s, i32(2))
+        dma(xr_ref, scr_r, sem_r, s, slot).wait()
+        dma(xi_ref, scr_i, sem_i, s, slot).wait()
+        vr = scr_r[slot]
+        vi = scr_i[slot]
+        ur, ui = _fir_packed(vr, vi, taps_ref, gt, k)
+        yr, yi = _dft_packed(ur, ui, wst_ref, pm, prec)
+
+        if mode == "chan":
+            or_ref[0] = yr
+            oi_ref[0] = yi
+            return
+
+        def decimate(sig):
+            """Streaming audio FIR + downsample on the MXU: one dot of
+            [carry(kd-1) | sig(gt)] with the Toeplitz tap matrix."""
+            @pl.when(jax.lax.rem(s, i32(ntiles)) == 0)
+            def _():
+                acr[:] = ah_ref[0]
+
+            ext = jax.lax.concatenate([acr[:], sig], 1)
+            dot = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=sig.dtype, precision=prec)
+            o_ref[0] = dot(ext, dmat_ref[:])
+            acr[:] = sig[:, gt - (kd - 1):]
+            aho_ref[0] = sig[:, gt - (kd - 1):]
+
+        if mode == "am":
+            o_ref[0] = jnp.sqrt(yr * yr + yi * yi)
+            return
+        if mode == "am_dec":
+            decimate(jnp.sqrt(yr * yr + yi * yi))
+            return
+
+        # FM quadrature discriminator: d = y[g] * conj(y[g-1]); the g-1
+        # line is a one-lane shift with the carried last sample spliced in.
+        @pl.when(jax.lax.rem(s, i32(ntiles)) == 0)
+        def _():
+            # Fresh stream group: phase carry from the demod state.
             cr[:] = pr_ref[0]
             ci[:] = pi_ref[0]
 
-        dma_r.wait()
-        dma_i.wait()
-        yr, yi = _fir_dft(scr_r, scr_i, taps_ref, wfc_ref, wfs_ref, gt, k,
-                          prec)
-        # Quadrature discriminator: d = y[g] * conj(y[g-1]); the g-1 line
-        # is a one-lane shift with the carried last sample spliced in.
         sr = jax.lax.concatenate([cr[:], yr[:, : gt - 1]], 1)
         si = jax.lax.concatenate([ci[:], yi[:, : gt - 1]], 1)
         dr = yr * sr + yi * si
         di = yi * sr - yr * si
-        o_ref[0] = _atan2(di, dr) * jnp.asarray(gain, yr.dtype)
+        disc = _atan2(di, dr) * jnp.asarray(gain, yr.dtype)
+        if mode == "fm_dec":
+            decimate(disc)
+        else:
+            o_ref[0] = disc
         cr[:] = yr[:, gt - 1:]
         ci[:] = yi[:, gt - 1:]
         ylr_ref[0] = yr[:, gt - 1:]
         yli_ref[0] = yi[:, gt - 1:]
-
-    return body
-
-
-def _make_am_kernel(gt: int, k: int, prec):
-    def body(xr_ref, xi_ref, taps_ref, wfc_ref, wfs_ref, o_ref,
-             scr_r, scr_i, sems):
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        dma_r = _copy_tile(xr_ref, b, i * gt, scr_r, sems.at[0])
-        dma_i = _copy_tile(xi_ref, b, i * gt, scr_i, sems.at[1])
-        dma_r.start()
-        dma_i.start()
-        dma_r.wait()
-        dma_i.wait()
-        yr, yi = _fir_dft(scr_r, scr_i, taps_ref, wfc_ref, wfs_ref, gt, k,
-                          prec)
-        o_ref[0] = jnp.sqrt(yr * yr + yi * yi)
-
-    return body
-
-
-def _make_chan_kernel(gt: int, k: int, prec):
-    def body(xr_ref, xi_ref, taps_ref, wfc_ref, wfs_ref, or_ref, oi_ref,
-             scr_r, scr_i, sems):
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        dma_r = _copy_tile(xr_ref, b, i * gt, scr_r, sems.at[0])
-        dma_i = _copy_tile(xi_ref, b, i * gt, scr_i, sems.at[1])
-        dma_r.start()
-        dma_i.start()
-        dma_r.wait()
-        dma_i.wait()
-        yr, yi = _fir_dft(scr_r, scr_i, taps_ref, wfc_ref, wfs_ref, gt, k,
-                          prec)
-        or_ref[0] = yr
-        oi_ref[0] = yi
 
     return body
 
@@ -234,11 +306,35 @@ def halo_frames(k: int, interpret: bool) -> int:
     return (k - 1) if interpret else max(128, -(-(k - 1) // 128) * 128)
 
 
-def _setup(ops: PFBOperators, xtr: jnp.ndarray, g_tile: int,
-           g: "int | None", interpret: bool):
+def _auto_pack(b: int, m: int, pack: "int | None") -> int:
+    """Streams per grid step: the largest divisor of B with pack*M <= 128
+    (fills the MXU sublane/contraction tiles — packed_tables docstring)."""
+    if pack is None:
+        pack = max(1, 128 // m)
+        while b % pack:
+            pack -= 1
+    if pack < 1 or b % pack or pack * m > 128:
+        raise ValueError(
+            f"pack={pack} invalid for B={b}, M={m} (need B % pack == 0 "
+            f"and pack * M <= 128)")
+    return pack
+
+
+def _run_packed(mode: str, ops: PFBOperators, xtr: jnp.ndarray,
+                xti: jnp.ndarray, extra, *, gain: float, g_tile: int,
+                g: "int | None", precision, interpret: bool,
+                pack: "int | None", dec_taps=None, decim: int = 1,
+                ahist=None):
     b, m, nfr = xtr.shape
     if m != ops.m:
         raise ValueError(f"input has {m} rows, operators expect {ops.m}")
+    pack = _auto_pack(b, m, pack)
+    pm = pack * m
+    bp = b // pack
+    if pack > 1:
+        # (B, M, nfr) -> (B/P, P*M, nfr): a free leading-dims view.
+        xtr = xtr.reshape(bp, pm, nfr)
+        xti = xti.reshape(bp, pm, nfr)
     halo = halo_frames(ops.k, interpret)
     if g is None:
         g = nfr - halo
@@ -247,29 +343,132 @@ def _setup(ops: PFBOperators, xtr: jnp.ndarray, g_tile: int,
             f"input has {nfr} frame lanes; need >= g + halo = {g + halo} "
             f"(pad with PFBChannelizer.frames_t(xp, pad_to={g + halo}))")
     gt = _tile(g, g_tile, 1 if interpret else 128)
+    ntiles = g // gt
+    total = bp * ntiles
     dtype = xtr.dtype
     consts = tuple(jnp.asarray(a, dtype=dtype)
-                   for a in (ops.taps_t, ops.wfc, ops.wfs))
-    const_specs = [pl.BlockSpec(a.shape, lambda bb, ii: (0, 0),
+                   for a in ops.packed_tables(pack))
+    const_specs = [pl.BlockSpec(a.shape, lambda s: (0, 0),
                                 memory_space=pltpu.VMEM) for a in consts]
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    out_blk = pl.BlockSpec((1, m, gt), lambda bb, ii: (bb, 0, ii))
-    scratch = [pltpu.VMEM((m, gt + halo), dtype),
-               pltpu.VMEM((m, gt + halo), dtype)]
+    out_blk = pl.BlockSpec((1, pm, gt),
+                           lambda s: (s // ntiles, 0, s % ntiles))
+    prev_blk = pl.BlockSpec((1, pm, 1), lambda s: (s // ntiles, 0, 0))
+    scratch = [pltpu.VMEM((2, pm, gt + halo), dtype),
+               pltpu.VMEM((2, pm, gt + halo), dtype)]
+    sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+    itemsize = np.dtype(jnp.dtype(dtype).name).itemsize
     cost = pl.CostEstimate(
-        flops=int(b * g * m * (2 * ops.k + 4 * m + 8)),
-        bytes_accessed=int(3 * b * m * g * np.dtype(jnp.dtype(dtype).name
-                                                    ).itemsize),
-        transcendentals=int(b * g * m))
-    return b, m, g, gt, dtype, consts, const_specs, any_spec, out_blk, \
-        scratch, cost
+        flops=int(bp * g * pm * (2 * ops.k + 4 * pm + 8)),
+        bytes_accessed=int(3 * bp * pm * g * itemsize),
+        transcendentals=int(bp * g * pm if mode == "fm" else 0))
+    kd = 0
+    if mode in ("fm_dec", "am_dec"):
+        # Toeplitz decimation matrix: audio[m] = sum_j h[j] ext[kd-1+m*dec-j]
+        # over ext = [fir history (kd-1) | demod tile (gt)].
+        h = np.asarray(dec_taps, dtype=np.float64)
+        kd = h.size
+        if gt % decim:
+            raise ValueError(f"tile {gt} not a multiple of decim={decim}")
+        if g % decim:
+            raise ValueError(f"g={g} not a multiple of decim={decim}")
+        dmat = np.zeros((kd - 1 + gt, gt // decim))
+        rows = np.arange(kd - 1 + gt)[:, None]
+        cols = np.arange(gt // decim)[None, :]
+        j = kd - 1 + cols * decim - rows
+        np.putmask(dmat, (j >= 0) & (j < kd),
+                   h[np.clip(j, 0, kd - 1)])
+        consts = consts + (jnp.asarray(dmat, dtype=dtype),)
+        const_specs = const_specs + [
+            pl.BlockSpec(dmat.shape, lambda s: (0, 0),
+                         memory_space=pltpu.VMEM)]
+        audio_blk = pl.BlockSpec(
+            (1, pm, gt // decim), lambda s: (s // ntiles, 0, s % ntiles))
+        ah_blk = pl.BlockSpec((1, pm, kd - 1), lambda s: (s // ntiles, 0, 0))
+        ah_in = ahist.reshape(bp, pm, kd - 1)
+        acr_scr = [pltpu.VMEM((pm, kd - 1), dtype)]
+    body = _make_packed_body(mode, gt, ops.k, pm, ntiles, total, halo,
+                             float(gain), prec, dec=decim, kd=kd)
+    if mode in ("fm", "fm_dec"):
+        prev_r, prev_i = extra
+        pr3 = prev_r.reshape(bp, pm, 1)
+        pi3 = prev_i.reshape(bp, pm, 1)
+        if mode == "fm":
+            disc, ylr, yli = pl.pallas_call(
+                body, grid=(total,),
+                in_specs=[any_spec, any_spec, prev_blk, prev_blk]
+                + const_specs,
+                out_specs=(out_blk, prev_blk, prev_blk),
+                out_shape=(jax.ShapeDtypeStruct((bp, pm, g), dtype),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype)),
+                scratch_shapes=scratch + [pltpu.VMEM((pm, 1), dtype),
+                                          pltpu.VMEM((pm, 1), dtype)]
+                + sems,
+                cost_estimate=cost, interpret=interpret,
+            )(xtr, xti, pr3, pi3, *consts)
+            return (disc.reshape(b, m, g),
+                    (ylr.reshape(b, m, 1), yli.reshape(b, m, 1)))
+        audio, ylr, yli, aho = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec, prev_blk, prev_blk, ah_blk]
+            + const_specs,
+            out_specs=(audio_blk, prev_blk, prev_blk, ah_blk),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, kd - 1), dtype)),
+            scratch_shapes=scratch + [pltpu.VMEM((pm, 1), dtype),
+                                      pltpu.VMEM((pm, 1), dtype)]
+            + acr_scr + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(xtr, xti, pr3, pi3, ah_in, *consts)
+        return (audio.reshape(b, m, g // decim),
+                (ylr.reshape(b, m, 1), yli.reshape(b, m, 1)),
+                aho.reshape(b, m, kd - 1))
+    if mode == "am":
+        env = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec] + const_specs,
+            out_specs=out_blk,
+            out_shape=jax.ShapeDtypeStruct((bp, pm, g), dtype),
+            scratch_shapes=scratch + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(xtr, xti, *consts)
+        return env.reshape(b, m, g)
+    if mode == "am_dec":
+        audio, aho = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec, ah_blk] + const_specs,
+            out_specs=(audio_blk, ah_blk),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, kd - 1), dtype)),
+            scratch_shapes=scratch + acr_scr + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(xtr, xti, ah_in, *consts)
+        return (audio.reshape(b, m, g // decim),
+                aho.reshape(b, m, kd - 1))
+    yr, yi = pl.pallas_call(
+        body, grid=(total,),
+        in_specs=[any_spec, any_spec] + const_specs,
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((bp, pm, g), dtype),
+                   jax.ShapeDtypeStruct((bp, pm, g), dtype)),
+        scratch_shapes=scratch + sems,
+        cost_estimate=cost, interpret=interpret,
+    )(xtr, xti, *consts)
+    return yr.reshape(b, m, g), yi.reshape(b, m, g)
 
 
 def pfb_fm_frames(ops: PFBOperators, xtr: jnp.ndarray, xti: jnp.ndarray,
                   prev_r: jnp.ndarray, prev_i: jnp.ndarray, *,
                   gain: float = 1.0, g_tile: int = 1024,
-                  g: "int | None" = None,
-                  precision=None, interpret: bool = False):
+                  g: "int | None" = None, pack: "int | None" = None,
+                  precision=None, dec_taps=None, decim: int = 1,
+                  ahist=None, interpret: bool = False):
     """Channelize + FM-discriminate in one pass.
 
     Args:
@@ -281,72 +480,50 @@ def pfb_fm_frames(ops: PFBOperators, xtr: jnp.ndarray, xti: jnp.ndarray,
       gain: static discriminator gain (folded into the kernel).
       g: output frame count; default nfr - halo.  Compiled (non-interpret)
         kernels require g % 128 == 0.
+      pack: streams packed per grid step (default: largest divisor of B
+        with pack*M <= 128 — fills the MXU tiles the per-stream M-point
+        DFT would waste 1 - (M/128)^2 of).
+      dec_taps, decim, ahist: when given, the audio decimator is fused
+        in-kernel (Toeplitz MXU dot — _make_packed_body docstring):
+        dec_taps (Kd,) FIR taps, decim the downsample factor, ahist
+        (B, M, Kd-1) the streaming FIR history (ops/fir.py FIRState,
+        bit-matching PolyphaseResampler splitting semantics).
 
     Returns (disc (B, M, G), (y_last_r, y_last_i) each (B, M, 1)) — the
-    per-channel instantaneous frequency and the new phase carry.
+    per-channel instantaneous frequency and the new phase carry.  With
+    dec_taps: (audio (B, M, G//decim), (y_last_r, y_last_i),
+    ahist_out (B, M, Kd-1)).
     """
-    (b, m, g, gt, dtype, consts, const_specs, any_spec, out_blk, scratch,
-     cost) = _setup(ops, xtr, g_tile, g, interpret)
-    prec = (jax.lax.Precision.DEFAULT if precision == jax.lax.Precision.DEFAULT
-            else jax.lax.Precision.HIGHEST)
-    prev_blk = pl.BlockSpec((1, m, 1), lambda bb, ii: (bb, 0, 0))
-    disc, ylr, yli = pl.pallas_call(
-        _make_fm_kernel(gt, ops.k, float(gain), prec),
-        grid=(b, g // gt),
-        in_specs=[any_spec, any_spec, prev_blk, prev_blk] + const_specs,
-        out_specs=(out_blk, prev_blk, prev_blk),
-        out_shape=(jax.ShapeDtypeStruct((b, m, g), dtype),
-                   jax.ShapeDtypeStruct((b, m, 1), dtype),
-                   jax.ShapeDtypeStruct((b, m, 1), dtype)),
-        scratch_shapes=scratch + [pltpu.VMEM((m, 1), dtype),
-                                  pltpu.VMEM((m, 1), dtype),
-                                  pltpu.SemaphoreType.DMA((2,))],
-        cost_estimate=cost,
-        interpret=interpret,
-    )(xtr, xti, prev_r, prev_i, *consts)
-    return disc, (ylr, yli)
+    mode = "fm" if dec_taps is None else "fm_dec"
+    return _run_packed(mode, ops, xtr, xti, (prev_r, prev_i), gain=gain,
+                       g_tile=g_tile, g=g, precision=precision,
+                       interpret=interpret, pack=pack, dec_taps=dec_taps,
+                       decim=decim, ahist=ahist)
 
 
 def pfb_am_frames(ops: PFBOperators, xtr: jnp.ndarray, xti: jnp.ndarray, *,
                   g_tile: int = 1024, g: "int | None" = None,
-                  precision=None,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Channelize + AM envelope in one pass: returns env (B, M, G)."""
-    (b, m, g, gt, dtype, consts, const_specs, any_spec, out_blk, scratch,
-     cost) = _setup(ops, xtr, g_tile, g, interpret)
-    prec = (jax.lax.Precision.DEFAULT if precision == jax.lax.Precision.DEFAULT
-            else jax.lax.Precision.HIGHEST)
-    return pl.pallas_call(
-        _make_am_kernel(gt, ops.k, prec),
-        grid=(b, g // gt),
-        in_specs=[any_spec, any_spec] + const_specs,
-        out_specs=out_blk,
-        out_shape=jax.ShapeDtypeStruct((b, m, g), dtype),
-        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2,))],
-        cost_estimate=cost,
-        interpret=interpret,
-    )(xtr, xti, *consts)
+                  pack: "int | None" = None, precision=None,
+                  dec_taps=None, decim: int = 1, ahist=None,
+                  interpret: bool = False):
+    """Channelize + AM envelope in one pass: returns env (B, M, G) — or
+    (audio (B, M, G//decim), ahist_out) with fused decimation (dec_taps /
+    decim / ahist as in :func:`pfb_fm_frames`)."""
+    mode = "am" if dec_taps is None else "am_dec"
+    return _run_packed(mode, ops, xtr, xti, None, gain=0.0, g_tile=g_tile,
+                       g=g, precision=precision, interpret=interpret,
+                       pack=pack, dec_taps=dec_taps, decim=decim,
+                       ahist=ahist)
 
 
 def pfb_channelize_frames(ops: PFBOperators, xtr: jnp.ndarray,
                           xti: jnp.ndarray, *, g_tile: int = 1024,
                           g: "int | None" = None,
-                          precision=None, interpret: bool = False
+                          pack: "int | None" = None, precision=None,
+                          interpret: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bare channelizer: returns (yr, yi) each (B, M, G), channel-major —
     bit-compatible with ops/channelizer.py:_run_ri_cm."""
-    (b, m, g, gt, dtype, consts, const_specs, any_spec, out_blk, scratch,
-     cost) = _setup(ops, xtr, g_tile, g, interpret)
-    prec = (jax.lax.Precision.DEFAULT if precision == jax.lax.Precision.DEFAULT
-            else jax.lax.Precision.HIGHEST)
-    return pl.pallas_call(
-        _make_chan_kernel(gt, ops.k, prec),
-        grid=(b, g // gt),
-        in_specs=[any_spec, any_spec] + const_specs,
-        out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((b, m, g), dtype),
-                   jax.ShapeDtypeStruct((b, m, g), dtype)),
-        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2,))],
-        cost_estimate=cost,
-        interpret=interpret,
-    )(xtr, xti, *consts)
+    return _run_packed("chan", ops, xtr, xti, None, gain=0.0,
+                       g_tile=g_tile, g=g, precision=precision,
+                       interpret=interpret, pack=pack)
