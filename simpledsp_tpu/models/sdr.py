@@ -72,6 +72,7 @@ class FMReceiverBank:
         self.use_pallas = use_pallas
         self._interpret = False   # tests may set True to run fused on CPU
         ataps = lowpass_taps(audio_taps, 0.4 / decim, fs=1.0)
+        self._ataps = ataps
         self.audio = PolyphaseDecimator(ataps, decim, dtype=dtype)
         self._jit = jax.jit(self._forward)
 
@@ -85,14 +86,25 @@ class FMReceiverBank:
                            dtype=self.dtype),
         )
 
-    def _prefix(self, xr, xi, state):
+    def _prefix(self, xr, xi, state, pad: int = 0):
         """History-prefix the input planes; returns (xpr, xpi, new chan
-        state) — shared by the XLA and fused paths."""
-        xpr = jnp.concatenate([state.chan.hist_r, xr], axis=-1)
-        xpi = jnp.concatenate([state.chan.hist_i, xi], axis=-1)
+        state) — shared by the XLA and fused paths.
+
+        pad: trailing zero samples folded into the SAME concat (the fused
+        kernel's 128-aligned frame halo) — padding after the transpose
+        cost a second full-size XLA copy (measured ~5 ms/call)."""
+        parts_r = [state.chan.hist_r, xr]
+        parts_i = [state.chan.hist_i, xi]
+        if pad:
+            z = jnp.zeros(xr.shape[:-1] + (pad,), dtype=xr.dtype)
+            parts_r.append(z)
+            parts_i.append(z)
+        xpr = jnp.concatenate(parts_r, axis=-1)
+        xpi = jnp.concatenate(parts_i, axis=-1)
         h = self.chan.hist_len
-        return xpr, xpi, ChanStateRI(xpr[..., xpr.shape[-1] - h:],
-                                     xpi[..., xpi.shape[-1] - h:])
+        end = xpr.shape[-1] - pad
+        return xpr, xpi, ChanStateRI(xpr[..., end - h: end],
+                                     xpi[..., end - h: end])
 
     def _fused_g(self, t: int) -> "int | None":
         """Output frame count for the fused kernel, or None when this
@@ -104,26 +116,38 @@ class FMReceiverBank:
             return g
         return None
 
+    def _fused_prefix(self, xr, xi, state, g):
+        """Prefix + pad + transpose for the fused kernel: ONE concat (pad
+        folded in) and ONE transpose per plane."""
+        from simpledsp_tpu.kernels.pfb import halo_frames
+        halo = halo_frames(self.chan.taps_per_branch, self._interpret)
+        pad = max(0, self.m * (g + halo) - self.chan.hist_len
+                  - xr.shape[-1])
+        xpr, xpi, chan_state = self._prefix(xr, xi, state, pad=pad)
+        return (self.chan.frames_t(xpr), self.chan.frames_t(xpi),
+                chan_state)
+
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         """Jittable RI pipeline body (channel-major channelizer path: the
         lane axis stays the long time axis end to end)."""
         g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
         if g is not None:
-            from simpledsp_tpu.kernels.pfb import halo_frames, pfb_fm_frames
-            halo = halo_frames(self.chan.taps_per_branch, self._interpret)
-            xpr, xpi, chan_state = self._prefix(xr, xi, state)
-            disc, (ylr, yli) = pfb_fm_frames(
-                self.chan.kernel_ops, self.chan.frames_t(xpr, g + halo),
-                self.chan.frames_t(xpi, g + halo),
+            from simpledsp_tpu.kernels.pfb import pfb_fm_frames
+            xtr, xti, chan_state = self._fused_prefix(xr, xi, state, g)
+            # Audio decimation fused in-kernel (MXU Toeplitz dot) — the
+            # demodulated signal never round-trips HBM.
+            audio, (ylr, yli), ahist = pfb_fm_frames(
+                self.chan.kernel_ops, xtr, xti,
                 state.demod.prev_r[..., None],
                 state.demod.prev_i[..., None], gain=self.fm_gain, g=g,
-                interpret=self._interpret)
+                dec_taps=self._ataps, decim=self.decim,
+                ahist=state.audio.hist, interpret=self._interpret)
             demod_state = DemodStateRI(ylr[..., 0], yli[..., 0])
-        else:
-            (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi,
-                                                           state.chan)
-            disc, demod_state = fm_demod_ri(ir, ii, state.demod,
-                                            gain=self.fm_gain)
+            return audio, SDRState(chan_state, demod_state,
+                                   FIRState(ahist))
+        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
+        disc, demod_state = fm_demod_ri(ir, ii, state.demod,
+                                        gain=self.fm_gain)
         audio, audio_state = self.audio(disc, state.audio)
         return audio, SDRState(chan_state, demod_state, audio_state)
 
@@ -174,15 +198,21 @@ class AMReceiverBank(FMReceiverBank):
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
         if g is not None:
-            from simpledsp_tpu.kernels.pfb import halo_frames, pfb_am_frames
-            halo = halo_frames(self.chan.taps_per_branch, self._interpret)
-            xpr, xpi, chan_state = self._prefix(xr, xi, state)
-            env = pfb_am_frames(self.chan.kernel_ops,
-                                self.chan.frames_t(xpr, g + halo),
-                                self.chan.frames_t(xpi, g + halo), g=g,
+            from simpledsp_tpu.kernels.pfb import pfb_am_frames
+            xtr, xti, chan_state = self._fused_prefix(xr, xi, state, g)
+            if not self.remove_dc:
+                # No block-mean stage -> audio decimation fuses in-kernel.
+                audio, ahist = pfb_am_frames(
+                    self.chan.kernel_ops, xtr, xti, g=g,
+                    dec_taps=self._ataps, decim=self.decim,
+                    ahist=state.audio.hist, interpret=self._interpret)
+                return audio, SDRState(chan_state, state.demod,
+                                       FIRState(ahist))
+            env = pfb_am_frames(self.chan.kernel_ops, xtr, xti, g=g,
                                 interpret=self._interpret)
-            if self.remove_dc:
-                env = env - jnp.mean(env, axis=-1, keepdims=True)
+            # Block-mean DC removal spans the whole call (non-causal), so
+            # it cannot fuse into the streaming kernel; decimate in XLA.
+            env = env - jnp.mean(env, axis=-1, keepdims=True)
         else:
             (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi,
                                                            state.chan)
