@@ -173,6 +173,177 @@ def _dft_packed(ur, ui, wst_ref, pm: int, prec):
     return yr, yi
 
 
+def _untranspose(v, m: int):
+    """(R, 128) register tile of the FLAT stream view (rows of f8 =
+    128 // M frames x M branches, i.e. 128 contiguous samples) -> the
+    PHASE-MAJOR split form (f8, M, R): out[f, m, r] = v[r, f * M + m],
+    frame index g = f8 * r + f.
+
+    One XLU transpose + one leading-dim split — both Mosaic-legal.  The
+    direct channel-major (M, f8 R) form needs a lane-merging reshape
+    Mosaic cannot lower ("unsupported shape cast"), so every downstream
+    stage works phase-major: lanes stay the row index r, the in-row
+    phase f is a leading dim, and cross-frame shifts are leading concats.
+    """
+    r = v.shape[0]
+    wt = jnp.transpose(v, (1, 0))          # (128, R): [f * M + m, r]
+    return wt.reshape(128 // m, m, r)      # [f, m, r]
+
+
+def _shift_fwd(v, s: int, rt: int, f8: int):
+    """Phase-major forward shift: out[f, ., r] = v at merged frame index
+    f8 r + f + s, over rt output rows (v has >= rt + s // f8 + 1 rows).
+    One leading concat + lane slices."""
+    q, p = divmod(s, f8)
+    if p == 0:
+        return v[:, :, q: q + rt]
+    return jax.lax.concatenate(
+        [v[p:, :, q: q + rt], v[:p, :, q + 1: q + 1 + rt]], 0)
+
+
+def _fir_split(vr, vi, taps_ref, rt: int, k: int, f8: int):
+    """Branch FIRs on phase-major (f8, PM, R) registers -> (f8, PM, rt)."""
+    ur = None
+    ui = None
+    for j in range(k):
+        t = taps_ref[:, j][None, :, None]
+        lag = k - 1 - j
+        fr = t * _shift_fwd(vr, lag, rt, f8)
+        fi = t * _shift_fwd(vi, lag, rt, f8)
+        ur = fr if ur is None else ur + fr
+        ui = fi if ui is None else ui + fi
+    return ur, ui
+
+
+def _dft_split(ur, ui, wstb_ref, pm: int, prec):
+    """Packed cross-branch DFT on phase-major operands: one BATCHED dot
+    per plane against the f8-broadcast stacked table (Mosaic requires
+    batch dims in matching leading positions)."""
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((2,), (1,)), ((0,),
+                                                               (0,))),
+        preferred_element_type=ur.dtype, precision=prec)
+    cu = dot(wstb_ref[:], ur)              # (f8, 2PM, rt)
+    cv = dot(wstb_ref[:], ui)
+    yr = cu[:, :pm] - cv[:, pm:]
+    yi = cv[:, :pm] + cu[:, pm:]
+    return yr, yi
+
+
+def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
+                    k: int, pm: int, pack: int, ntiles: int, total: int,
+                    gain: float, prec, crows: int = 0):
+    """Flat-input kernel body: tiles are read STRAIGHT from the flat
+    (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate
+    contiguous DMA — and re-laid to channel-major in registers
+    (:func:`_untranspose`).  Kills the XLA (nfr, M) -> (M, nfr) transpose
+    that cost more than the whole fused kernel (measured 10.4 ms vs 1.6).
+
+    Grid step s: stream group bb = s // ntiles, row tile i = s % ntiles
+    covering rt rows = 8 rt frames (+ hrows halo rows).
+    """
+
+    def body(xr_ref, xi_ref, *rest):
+        if mode == "fm":
+            (pr_ref, pi_ref, taps_ref, wstb_ref, o_ref, ylr_ref, yli_ref,
+             scr_r, scr_i, cr, ci, sem_r, sem_i) = rest
+        elif mode == "fm_dec":
+            (pr_ref, pi_ref, ah_ref, taps_ref, wstb_ref, dmat_ref, o_ref,
+             ylr_ref, yli_ref, aho_ref, scr_r, scr_i, cr, ci, acr,
+             sem_r, sem_i) = rest
+        elif mode == "am":
+            taps_ref, wstb_ref, o_ref, scr_r, scr_i, sem_r, sem_i = rest
+        else:  # am_dec
+            (ah_ref, taps_ref, wstb_ref, dmat_ref, o_ref, aho_ref,
+             scr_r, scr_i, acr, sem_r, sem_i) = rest
+        s = pl.program_id(0)
+        i32 = lambda v: jnp.asarray(v, s.dtype)  # noqa: E731
+
+        def dma(x_ref, scr, sem, step, slot):
+            bb = step // i32(ntiles)
+            ii = step - bb * i32(ntiles)
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(bb * i32(pack), pack),
+                         pl.ds(ii * i32(rt), rt + hrows), :],
+                scr.at[slot], sem.at[slot])
+
+        @pl.when(s == 0)
+        def _():
+            dma(xr_ref, scr_r, sem_r, i32(0), 0).start()
+            dma(xi_ref, scr_i, sem_i, i32(0), 0).start()
+
+        @pl.when(s + 1 < total)
+        def _():
+            nslot = jax.lax.rem(s + i32(1), i32(2))
+            dma(xr_ref, scr_r, sem_r, s + i32(1), nslot).start()
+            dma(xi_ref, scr_i, sem_i, s + i32(1), nslot).start()
+
+        slot = jax.lax.rem(s, i32(2))
+        dma(xr_ref, scr_r, sem_r, s, slot).wait()
+        dma(xi_ref, scr_i, sem_i, s, slot).wait()
+        vr = jax.lax.concatenate(
+            [_untranspose(scr_r[slot, q], m) for q in range(pack)], 1)
+        vi = jax.lax.concatenate(
+            [_untranspose(scr_i[slot, q], m) for q in range(pack)], 1)
+        ur, ui = _fir_split(vr, vi, taps_ref, rt, k, f8)
+        yr, yi = _dft_split(ur, ui, wstb_ref, pm, prec)
+
+        def decimate(sig):
+            """Phase-major streaming decimator: batched dot over the
+            leading phase axis against the (f8, crows + rt, T') Toeplitz
+            tap tensor, batch-reduced (kd - 1 history left-padded to
+            crows full rows; pad positions carry zero taps)."""
+            @pl.when(jax.lax.rem(s, i32(ntiles)) == 0)
+            def _():
+                acr[:] = ah_ref[0]
+
+            ext = jax.lax.concatenate([acr[:], sig], 2)
+            parts = jax.lax.dot_general(
+                ext, dmat_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=sig.dtype, precision=prec)
+            o_ref[0] = jnp.sum(parts, axis=0)
+            tail = sig[:, :, rt - crows:]
+            acr[:] = tail
+            aho_ref[0] = tail
+
+        if mode == "am":
+            o_ref[0] = jnp.sqrt(yr * yr + yi * yi)
+            return
+        if mode == "am_dec":
+            decimate(jnp.sqrt(yr * yr + yi * yi))
+            return
+
+        # FM discriminator, phase-major: the g-1 line rotates the phase
+        # axis down one, with phase f8-1 shifted one row and the carried
+        # last sample spliced in.
+        @pl.when(jax.lax.rem(s, i32(ntiles)) == 0)
+        def _():
+            cr[:] = pr_ref[0][None]
+            ci[:] = pi_ref[0][None]
+
+        def prev_line(y, c):
+            up = jax.lax.concatenate([c[:], y[f8 - 1:, :, : rt - 1]], 2)
+            return jax.lax.concatenate([up, y[: f8 - 1]], 0)
+
+        sr = prev_line(yr, cr)
+        si = prev_line(yi, ci)
+        dr = yr * sr + yi * si
+        di = yi * sr - yr * si
+        disc = _atan2(di, dr) * jnp.asarray(gain, yr.dtype)
+        last_r = yr[f8 - 1:, :, rt - 1:]
+        last_i = yi[f8 - 1:, :, rt - 1:]
+        if mode == "fm_dec":
+            decimate(disc)
+        else:
+            o_ref[0] = disc
+        cr[:] = last_r
+        ci[:] = last_i
+        ylr_ref[0] = last_r[0]
+        yli_ref[0] = last_i[0]
+
+    return body
+
+
 def _make_packed_body(mode: str, gt: int, k: int, pm: int, ntiles: int,
                       total: int, halo: int, gain: float, prec,
                       dec: int = 1, kd: int = 0):
@@ -527,3 +698,208 @@ def pfb_channelize_frames(ops: PFBOperators, xtr: jnp.ndarray,
     return _run_packed("chan", ops, xtr, xti, None, gain=0.0,
                        g_tile=g_tile, g=g, precision=precision,
                        interpret=interpret, pack=pack)
+
+
+def flat_pad_to(ops: PFBOperators, g: int, interpret: bool = False) -> int:
+    """Required FLAT prefixed-stream length (samples) for g output frames
+    through the flat kernels: g + halo-rows frames, 128-sample aligned."""
+    if 128 % ops.m:
+        raise ValueError(f"flat kernels need M | 128, got {ops.m}")
+    f8 = 128 // ops.m
+    hrows = -(-(ops.k - 1) // f8)
+    if not interpret:
+        hrows = -(-hrows // 8) * 8
+    return ops.m * g + hrows * 128
+
+
+def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
+              xpi: jnp.ndarray, extra, *, gain: float, row_tile: int,
+              g: "int | None", precision, interpret: bool,
+              pack: "int | None", dec_taps=None, decim: int = 1,
+              ahist=None):
+    """Flat-input driver: xpr/xpi are (B, W) history-prefixed padded flat
+    planes, W % 128 == 0.  See _make_flat_body."""
+    b, w = xpr.shape
+    m, k = ops.m, ops.k
+    if 128 % m:
+        raise ValueError(f"flat kernels need M | 128, got {m}")
+    f8 = 128 // m
+    if w % 128:
+        raise ValueError(
+            f"flat input length {w} must be a multiple of 128 "
+            f"(pad to kernels.pfb.flat_pad_to(ops, g))")
+    nrows = w // 128
+    hrows = -(-(k - 1) // f8)
+    if not interpret:
+        hrows = -(-hrows // 8) * 8    # DMA sublane-slice alignment
+    if g is None:
+        g = (nrows - hrows) * f8
+    if g % f8:
+        raise ValueError(f"g={g} must be a multiple of {f8} (= 128/M)")
+    grows = g // f8
+    if nrows < grows + hrows:
+        raise ValueError(
+            f"input has {nrows} rows; need >= {grows + hrows} "
+            f"(pad to flat_pad_to(ops, g) = {flat_pad_to(ops, g, interpret)})")
+    pack = _auto_pack(b, m, pack)
+    pm = pack * m
+    bp = b // pack
+    rt = _tile(grows, row_tile, 1 if interpret else 8)
+    ntiles = grows // rt
+    total = bp * ntiles
+    dtype = xpr.dtype
+    x4r = xpr.reshape(b, nrows, 128)
+    x4i = xpi.reshape(b, nrows, 128)
+    taps_p, wst = ops.packed_tables(pack)
+    # Phase-major batched DFT table: the stacked block-diagonal matrix
+    # broadcast over the f8 leading batch (Mosaic batch-dim contract).
+    wstb = np.ascontiguousarray(
+        np.broadcast_to(wst[None], (f8,) + wst.shape))
+    consts = tuple(jnp.asarray(a, dtype=dtype) for a in (taps_p, wstb))
+    const_specs = [pl.BlockSpec(a.shape,
+                                lambda s, nd=a.ndim: (0,) * nd,
+                                memory_space=pltpu.VMEM) for a in consts]
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_blk = pl.BlockSpec((1, f8, pm, rt),
+                           lambda s: (s // ntiles, 0, 0, s % ntiles))
+    prev_blk = pl.BlockSpec((1, pm, 1), lambda s: (s // ntiles, 0, 0))
+    scratch = [pltpu.VMEM((2, pack, rt + hrows, 128), dtype),
+               pltpu.VMEM((2, pack, rt + hrows, 128), dtype)]
+    sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+    itemsize = np.dtype(jnp.dtype(dtype).name).itemsize
+    cost = pl.CostEstimate(
+        flops=int(bp * g * pm * (2 * k + 4 * pm + 8)),
+        bytes_accessed=int(3 * bp * pm * g * itemsize),
+        transcendentals=int(bp * g * pm if mode.startswith("fm") else 0))
+    crows = 0
+    if mode in ("fm_dec", "am_dec"):
+        h = np.asarray(dec_taps, dtype=np.float64)
+        kd = h.size
+        gt = rt * f8
+        if gt % decim or g % decim:
+            raise ValueError(
+                f"tile {gt} / g {g} not multiples of decim={decim}")
+        crows = -(-(kd - 1) // f8)
+        pad0 = crows * f8 - (kd - 1)
+        # audio[t'] = sum_j h[j] ext[pad0 + kd-1 + t'*decim - j] over
+        # ext = [pad0 zeros | fir hist (kd-1) | demod tile (gt)].
+        rows_e = crows * f8 + gt
+        dmat = np.zeros((rows_e, gt // decim))
+        ridx = np.arange(rows_e)[:, None]
+        cols = np.arange(gt // decim)[None, :]
+        j = pad0 + kd - 1 + cols * decim - ridx
+        np.putmask(dmat, (j >= 0) & (j < kd), h[np.clip(j, 0, kd - 1)])
+        # Leading-batch layout (f8, rows, T') for the in-kernel batched dot.
+        dmat3 = np.ascontiguousarray(np.moveaxis(
+            dmat.reshape(crows + rt, f8, gt // decim), 1, 0))
+        consts = consts + (jnp.asarray(dmat3, dtype=dtype),)
+        const_specs = const_specs + [
+            pl.BlockSpec(dmat3.shape, lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM)]
+        audio_blk = pl.BlockSpec(
+            (1, pm, gt // decim), lambda s: (s // ntiles, 0, s % ntiles))
+        ah_blk = pl.BlockSpec((1, f8, pm, crows),
+                              lambda s: (s // ntiles, 0, 0, 0))
+        ah_in = jnp.pad(ahist.astype(dtype), [(0, 0), (0, 0), (pad0, 0)]) \
+            .reshape(bp, pm, crows, f8).transpose(0, 3, 1, 2)
+        acr_scr = [pltpu.VMEM((f8, pm, crows), dtype)]
+    body = _make_flat_body(mode, m, f8, rt, hrows, k, pm, pack, ntiles,
+                           total, float(gain), prec, crows=crows)
+    if mode.startswith("fm"):
+        prev_r, prev_i = extra
+        pr3 = prev_r.reshape(bp, pm, 1)
+        pi3 = prev_i.reshape(bp, pm, 1)
+        fm_scr = [pltpu.VMEM((1, pm, 1), dtype), pltpu.VMEM((1, pm, 1),
+                                                            dtype)]
+        if mode == "fm":
+            disc, ylr, yli = pl.pallas_call(
+                body, grid=(total,),
+                in_specs=[any_spec, any_spec, prev_blk, prev_blk]
+                + const_specs,
+                out_specs=(out_blk, prev_blk, prev_blk),
+                out_shape=(jax.ShapeDtypeStruct((bp, f8, pm, grows),
+                                                dtype),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype)),
+                scratch_shapes=scratch + fm_scr + sems,
+                cost_estimate=cost, interpret=interpret,
+            )(x4r, x4i, pr3, pi3, *consts)
+            disc = disc.transpose(0, 2, 3, 1).reshape(b, m, g)
+            return (disc,
+                    (ylr.reshape(b, m, 1), yli.reshape(b, m, 1)))
+        audio, ylr, yli, aho = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec, prev_blk, prev_blk, ah_blk]
+            + const_specs,
+            out_specs=(audio_blk, prev_blk, prev_blk, ah_blk),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
+            scratch_shapes=scratch + fm_scr + acr_scr + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(x4r, x4i, pr3, pi3, ah_in, *consts)
+        kd = np.asarray(dec_taps).size
+        aho2 = aho.transpose(0, 2, 3, 1).reshape(b, m, crows * f8) \
+            [..., crows * f8 - (kd - 1):]
+        return (audio.reshape(b, m, g // decim),
+                (ylr.reshape(b, m, 1), yli.reshape(b, m, 1)), aho2)
+    if mode == "am":
+        env = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec] + const_specs,
+            out_specs=out_blk,
+            out_shape=jax.ShapeDtypeStruct((bp, f8, pm, grows), dtype),
+            scratch_shapes=scratch + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(x4r, x4i, *consts)
+        return env.transpose(0, 2, 3, 1).reshape(b, m, g)
+    audio, aho = pl.pallas_call(
+        body, grid=(total,),
+        in_specs=[any_spec, any_spec, ah_blk] + const_specs,
+        out_specs=(audio_blk, ah_blk),
+        out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                   jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
+        scratch_shapes=scratch + acr_scr + sems,
+        cost_estimate=cost, interpret=interpret,
+    )(x4r, x4i, ah_in, *consts)
+    kd = np.asarray(dec_taps).size
+    aho2 = aho.transpose(0, 2, 3, 1).reshape(b, m, crows * f8) \
+        [..., crows * f8 - (kd - 1):]
+    return audio.reshape(b, m, g // decim), aho2
+
+
+def pfb_fm_flat(ops: PFBOperators, xpr: jnp.ndarray, xpi: jnp.ndarray,
+                prev_r: jnp.ndarray, prev_i: jnp.ndarray, *,
+                gain: float = 1.0, row_tile: int = 128,
+                g: "int | None" = None, pack: "int | None" = None,
+                precision=None, dec_taps=None, decim: int = 1,
+                ahist=None, interpret: bool = False):
+    """FLAT-input channelize + FM (+ optional fused decimation): xpr/xpi
+    are the history-prefixed (B, W) planes, W = flat_pad_to(ops, g) —
+    no channel-major transpose anywhere (the XLA (nfr, M) -> (M, nfr)
+    relayout cost more than the whole fused kernel; the kernel re-lays
+    contiguous 128-sample rows in registers instead).  Same returns as
+    :func:`pfb_fm_frames`."""
+    mode = "fm" if dec_taps is None else "fm_dec"
+    return _run_flat(mode, ops, xpr, xpi, (prev_r, prev_i), gain=gain,
+                     row_tile=row_tile, g=g, precision=precision,
+                     interpret=interpret, pack=pack, dec_taps=dec_taps,
+                     decim=decim, ahist=ahist)
+
+
+def pfb_am_flat(ops: PFBOperators, xpr: jnp.ndarray, xpi: jnp.ndarray, *,
+                row_tile: int = 128, g: "int | None" = None,
+                pack: "int | None" = None, precision=None,
+                dec_taps=None, decim: int = 1, ahist=None,
+                interpret: bool = False):
+    """FLAT-input channelize + AM envelope (+ optional fused decimation);
+    see :func:`pfb_fm_flat` / :func:`pfb_am_frames`."""
+    mode = "am" if dec_taps is None else "am_dec"
+    return _run_flat(mode, ops, xpr, xpi, None, gain=0.0,
+                     row_tile=row_tile, g=g, precision=precision,
+                     interpret=interpret, pack=pack, dec_taps=dec_taps,
+                     decim=decim, ahist=ahist)

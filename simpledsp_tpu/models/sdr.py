@@ -111,33 +111,35 @@ class FMReceiverBank:
         trace's shape cannot use the compiled kernel (Mosaic needs
         g % 128 == 0; kernels/pfb.py docstring) and must fall back to the
         XLA path."""
+        if 128 % self.m:
+            return None   # flat kernels re-lay 128-sample rows (M | 128)
         g = t // self.m
         if self._interpret or (t % self.m == 0 and g % 128 == 0 and g > 0):
             return g
         return None
 
-    def _fused_prefix(self, xr, xi, state, g):
-        """Prefix + pad + transpose for the fused kernel: ONE concat (pad
-        folded in) and ONE transpose per plane."""
-        from simpledsp_tpu.kernels.pfb import halo_frames
-        halo = halo_frames(self.chan.taps_per_branch, self._interpret)
-        pad = max(0, self.m * (g + halo) - self.chan.hist_len
-                  - xr.shape[-1])
-        xpr, xpi, chan_state = self._prefix(xr, xi, state, pad=pad)
-        return (self.chan.frames_t(xpr), self.chan.frames_t(xpi),
-                chan_state)
+    def _flat_prefix(self, xr, xi, state, g):
+        """Prefix + halo pad for the FLAT fused kernels: ONE concat per
+        plane, NO transpose anywhere (the kernel re-lays contiguous
+        128-sample rows in registers — kernels/pfb.py flat docstrings;
+        the XLA channel-major transpose measured 10.4 ms/call, more than
+        the whole fused kernel)."""
+        from simpledsp_tpu.kernels.pfb import flat_pad_to
+        w = flat_pad_to(self.chan.kernel_ops, g, self._interpret)
+        pad = max(0, w - self.chan.hist_len - xr.shape[-1])
+        return self._prefix(xr, xi, state, pad=pad)
 
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         """Jittable RI pipeline body (channel-major channelizer path: the
         lane axis stays the long time axis end to end)."""
         g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
         if g is not None:
-            from simpledsp_tpu.kernels.pfb import pfb_fm_frames
-            xtr, xti, chan_state = self._fused_prefix(xr, xi, state, g)
+            from simpledsp_tpu.kernels.pfb import pfb_fm_flat
+            xpr, xpi, chan_state = self._flat_prefix(xr, xi, state, g)
             # Audio decimation fused in-kernel (MXU Toeplitz dot) — the
             # demodulated signal never round-trips HBM.
-            audio, (ylr, yli), ahist = pfb_fm_frames(
-                self.chan.kernel_ops, xtr, xti,
+            audio, (ylr, yli), ahist = pfb_fm_flat(
+                self.chan.kernel_ops, xpr, xpi,
                 state.demod.prev_r[..., None],
                 state.demod.prev_i[..., None], gain=self.fm_gain, g=g,
                 dec_taps=self._ataps, decim=self.decim,
@@ -198,18 +200,18 @@ class AMReceiverBank(FMReceiverBank):
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
         if g is not None:
-            from simpledsp_tpu.kernels.pfb import pfb_am_frames
-            xtr, xti, chan_state = self._fused_prefix(xr, xi, state, g)
+            from simpledsp_tpu.kernels.pfb import pfb_am_flat
+            xpr, xpi, chan_state = self._flat_prefix(xr, xi, state, g)
             if not self.remove_dc:
                 # No block-mean stage -> audio decimation fuses in-kernel.
-                audio, ahist = pfb_am_frames(
-                    self.chan.kernel_ops, xtr, xti, g=g,
+                audio, ahist = pfb_am_flat(
+                    self.chan.kernel_ops, xpr, xpi, g=g,
                     dec_taps=self._ataps, decim=self.decim,
                     ahist=state.audio.hist, interpret=self._interpret)
                 return audio, SDRState(chan_state, state.demod,
                                        FIRState(ahist))
-            env = pfb_am_frames(self.chan.kernel_ops, xtr, xti, g=g,
-                                interpret=self._interpret)
+            env = pfb_am_flat(self.chan.kernel_ops, xpr, xpi, g=g,
+                              interpret=self._interpret)
             # Block-mean DC removal spans the whole call (non-causal), so
             # it cannot fuse into the streaming kernel; decimate in XLA.
             env = env - jnp.mean(env, axis=-1, keepdims=True)

@@ -119,3 +119,101 @@ class TestBanksFusedPath:
         h2, st = fused(x[:, 16 * 256:], st)
         got = np.concatenate([np.asarray(h1), np.asarray(h2)], axis=-1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=1e-10)
+
+
+class TestFlatKernels:
+    """FLAT-input kernels (in-register re-layout, kernels/pfb.py
+    _make_flat_body) vs the frames kernels — same oracle discipline."""
+
+    @pytest.fixture(scope="class")
+    def flat(self, rng):
+        from simpledsp_tpu.kernels.pfb import flat_pad_to
+        B, M, K, g = 3, 16, 16, 192
+        chan = PFBChannelizer(M, taps_per_channel=K, dtype=jnp.float64)
+        ops = chan.kernel_ops
+        w = flat_pad_to(ops, g, interpret=True)
+        T = M * g
+        xr = rng.standard_normal((B, T))
+        xi = rng.standard_normal((B, T))
+        z = np.zeros((B, chan.hist_len))
+        padr = np.zeros((B, w - chan.hist_len - T))
+        xpr = jnp.asarray(np.concatenate([z, xr, padr], axis=-1))
+        xpi = jnp.asarray(np.concatenate([z, xi, padr], axis=-1))
+        ftr = chan.frames_t(jnp.asarray(np.concatenate([z, xr], -1)))
+        fti = chan.frames_t(jnp.asarray(np.concatenate([z, xi], -1)))
+        return chan, g, xpr, xpi, ftr, fti
+
+    def test_fm_flat_matches_frames(self, flat):
+        from simpledsp_tpu.kernels.pfb import pfb_fm_flat
+        chan, g, xpr, xpi, ftr, fti = flat
+        B = xpr.shape[0]
+        pr = jnp.ones((B, chan.m, 1), jnp.float64)
+        pi = jnp.zeros((B, chan.m, 1), jnp.float64)
+        ref, (rr, ri) = pfb_fm_frames(chan.kernel_ops, ftr, fti, pr, pi,
+                                      gain=2.5, g=g, g_tile=64,
+                                      interpret=True)
+        got, (gr, gi) = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi,
+                                    gain=2.5, g=g, row_tile=8,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr), atol=0)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=0)
+
+    def test_fm_flat_fused_decim_streaming(self, flat, rng):
+        """Fused in-kernel decimation == kernel + PolyphaseDecimator, and
+        splitting the stream at a tile seam is exact."""
+        from simpledsp_tpu.design.fir import lowpass_taps
+        from simpledsp_tpu.kernels.pfb import flat_pad_to, pfb_fm_flat
+        from simpledsp_tpu.ops.fir import PolyphaseDecimator, fir_init
+        chan, g, xpr, xpi, ftr, fti = flat
+        B = xpr.shape[0]
+        pr = jnp.ones((B, chan.m, 1), jnp.float64)
+        pi = jnp.zeros((B, chan.m, 1), jnp.float64)
+        taps = lowpass_taps(24, 0.1, fs=1.0)
+        deci = PolyphaseDecimator(taps, 4, dtype=jnp.float64)
+        ah = fir_init(deci.hist_len, (B, chan.m), dtype=jnp.float64)
+        disc, _ = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi, gain=2.5,
+                              g=g, row_tile=8, interpret=True)
+        ref, _ = deci(disc, ah)
+        audio, _, aho = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi,
+                                    gain=2.5, g=g, row_tile=8,
+                                    dec_taps=taps, decim=4, ahist=ah.hist,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(audio), np.asarray(ref),
+                                   atol=1e-12)
+        # streaming split at a row boundary
+        g1 = 96
+        m = chan.m
+        w1 = flat_pad_to(chan.kernel_ops, g1, interpret=True)
+        hist_end = chan.hist_len + m * g1
+        x1r = jnp.concatenate([xpr[:, :hist_end],
+                               jnp.zeros((B, w1 - hist_end))], -1)
+        x1i = jnp.concatenate([xpi[:, :hist_end],
+                               jnp.zeros((B, w1 - hist_end))], -1)
+        g2 = g - g1
+        w2 = flat_pad_to(chan.kernel_ops, g2, interpret=True)
+        s2 = hist_end - chan.hist_len
+        e2 = hist_end + m * g2
+        x2r = jnp.concatenate([xpr[:, s2:e2],
+                               jnp.zeros((B, w2 - (e2 - s2)))], -1)
+        x2i = jnp.concatenate([xpi[:, s2:e2],
+                               jnp.zeros((B, w2 - (e2 - s2)))], -1)
+        a1, (p1r, p1i), h1 = pfb_fm_flat(
+            chan.kernel_ops, x1r, x1i, pr, pi, gain=2.5, g=g1, row_tile=8,
+            dec_taps=taps, decim=4, ahist=ah.hist, interpret=True)
+        a2, _, _ = pfb_fm_flat(
+            chan.kernel_ops, x2r, x2i, p1r, p1i, gain=2.5, g=g2,
+            row_tile=8, dec_taps=taps, decim=4, ahist=h1, interpret=True)
+        got = np.concatenate([np.asarray(a1), np.asarray(a2)], -1)
+        np.testing.assert_allclose(got, np.asarray(audio), atol=1e-12)
+
+    def test_am_flat_matches_frames(self, flat):
+        from simpledsp_tpu.kernels.pfb import pfb_am_flat
+        chan, g, xpr, xpi, ftr, fti = flat
+        ref = pfb_am_frames(chan.kernel_ops, ftr, fti, g=g, g_tile=64,
+                            interpret=True)
+        got = pfb_am_flat(chan.kernel_ops, xpr, xpi, g=g, row_tile=16,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)

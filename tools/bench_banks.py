@@ -84,12 +84,16 @@ def main():
 
         for path, bank in (("pallas", fused), ("xla", plain)):
             fn = jax.jit(bank._forward)
-            dt = timeit(fn, xr, xi, st)
+            # Median of 3: the axon tunnel shows >2x run-to-run drift.
+            reps = sorted(timeit(fn, xr, xi, st) for _ in range(3))
+            dt = reps[1]
             msps = b * t / dt / 1e6
             results[f"{name}_{path}"] = {"ms": round(dt * 1e3, 3),
-                                         "Msps": round(msps, 1)}
-            print(f"{name}_{path}: {dt*1e3:.3f} ms = {msps:.0f} Ms/s",
-                  flush=True)
+                                         "Msps": round(msps, 1),
+                                         "reps_ms": [round(r * 1e3, 3)
+                                                     for r in reps]}
+            print(f"{name}_{path}: {dt*1e3:.3f} ms = {msps:.0f} Ms/s "
+                  f"(reps {[round(r*1e3, 2) for r in reps]})", flush=True)
     print(json.dumps(results), flush=True)
 
 
