@@ -50,22 +50,25 @@ def main():
     out, s = fwd(x, s0)
     float(jnp.sum(s))
 
-    iters = 16
-    s = s0
-    start = time.perf_counter()
-    for _ in range(iters):
-        out, s = fwd(x, s)
-    # The chained state forces the whole 16-call dependency chain.
-    checksum = float(jnp.sum(s))
-    t_loop = time.perf_counter() - start
-    # Calibrate out the fetch round-trip on the (now ready) same value.
-    start = time.perf_counter()
-    float(jnp.sum(s))
-    t_fetch = time.perf_counter() - start
-    dt = max(t_loop - t_fetch, 1e-9) / iters
+    def one_loop(iters=16):
+        s = s0
+        start = time.perf_counter()
+        for _ in range(iters):
+            out, s = fwd(x, s)
+        # The chained state forces the whole 16-call dependency chain.
+        float(jnp.sum(s))
+        t_loop = time.perf_counter() - start
+        # Calibrate out the fetch round-trip on the (now ready) value.
+        start = time.perf_counter()
+        float(jnp.sum(s))
+        t_fetch = time.perf_counter() - start
+        del out
+        return max(t_loop - t_fetch, 1e-9) / iters
+
+    # Median of 3 loops: the tunnel shows >1.5x run-to-run drift.
+    dt = sorted(one_loop() for _ in range(3))[1]
 
     msps = c * t / dt / 1e6
-    del checksum
     result = {
         "metric": "northstar_chain_8sos_iir_4096fft_throughput",
         "value": round(msps, 1),

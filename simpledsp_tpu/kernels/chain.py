@@ -297,6 +297,67 @@ def _make_packed_kernel(precision, n2h: int, n1: int):
     return body
 
 
+def _make_packed_reg_kernel(precision, n2h: int, n1: int):
+    """k1-major packed compute (see :func:`_make_packed_kernel`) plus an
+    IN-REGISTER bin reorder: (n1, r, n2) -> (r, n2, n1) — a Mosaic-legal
+    relayout (lane-split reshapes are not).  Emits SEPARATE
+    natural-bin-order re/im planes (r, n2h, n1); row-major flatten of the
+    last two axes is bin k = k1 + n1 k2.  Replaces the XLA-side
+    (n1, f, n2) -> (f, n2, n1) transpose that cost 2.0 ms/call (134 GB/s —
+    the frame axis crossing the minor tiles), and turns the tile store
+    into one contiguous block.
+
+    (A 3-pass split-bf16 HIGH variant with host-pre-split constant tables
+    was built and measured on v5e: 98.9 dB at the SAME e2e throughput as
+    native HIGHEST's 137 dB — the kernel is not MXU-pass-bound; the VPU
+    splits and extra dispatches ate the saved passes — so it was removed.)
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1cs_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, or_ref, oi_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        cs = dot1f(w1cs_ref[:], y)
+        c_r = cs[:n1]
+        s_r = cs[n1:]
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+
+        # Nyquist into (k1 = 0, lane n2h) at value level, pre-permute.
+        nyq = jnp.sum(tr[0] * alt_ref[:], axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], 1)
+        row0 = jnp.where(lane == n2h, nyq, out[0])
+        out = jax.lax.concatenate([row0[None], out[1:]], 0)
+
+        # (n1, r, n2) -> (r, n2, n1) relayout in registers (the merged
+        # XLU route needs a lane-splitting reshape Mosaic rejects as
+        # "unsupported shape cast"; the direct 3-D transpose lowers).
+        t5 = jnp.transpose(out, (1, 2, 0))
+        or_ref[:] = t5[:, :n2h]
+        oi_ref[:] = t5[:, n2h:]
+
+    return body
+
+
 def _make_packed_fmajor_kernel(precision, n2h: int, n1: int):
     """Packed half-spectrum kernel with FRAME-MAJOR output blocks.
 
@@ -468,7 +529,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        axis_name: Optional[str] = None,
                        shard_powers: Optional[np.ndarray] = None,
                        half_spectrum: bool = False,
-                       layout: str = "k1",
+                       layout: str = "reg",
                        _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
@@ -488,12 +549,14 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         whose flattened bin order is k = k1 + n1*k2 for k < N/2, with
         X[N/2].re packed in the imag plane's bin-0 slot (FFTW halfcomplex;
         see ops.fft.unpack_rfft_ri).
-      layout: half-spectrum kernel variant — "k1" (k1-major blocks: every
-        intermediate keeps the 128-lane n2 axis; stores scatter across the
-        leading k1 dim), "fmajor" (frame-major contiguous stores, but
-        32-64-lane intermediates), or "pair" (2-frame block-diagonal
-        step 1; 4-D reorder transpose).  Measured e2e on v5e (c=64, HIGH):
-        k1 is fastest — see tools/bench_chain_v2.py.
+      layout: half-spectrum kernel variant — "reg" (default: k1-major
+        compute + in-register bin reorder, natural-order planes out, zero
+        XLA relayout), "k1" (k1-major blocks + XLA reorder transpose),
+        "fmajor" (frame-major contiguous stores, but 32-64-lane
+        intermediates), or "pair" (2-frame block-diagonal step 1; 4-D
+        reorder transpose).  Measured e2e chained on v5e (c=64, HIGH):
+        reg 9.3-9.6 Gs/s, k1 9.0, pair 8.9, fmajor 6.2 —
+        tools/bench_chain_v2.py.
 
     Returns ((spec_re, spec_im) each (C, F, n2, n1) — or (C, F, n2/2, n1)
     with half_spectrum — and s_final (C, D)).  The spectra's last two axes
@@ -623,7 +686,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                            memory_space=pltpu.VMEM)
 
     def const_spec(a):
-        return pl.BlockSpec(a.shape, lambda i: (0, 0),
+        return pl.BlockSpec(a.shape, lambda i, nd=a.ndim: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
     if half_spectrum:
@@ -633,10 +696,38 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
         q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
         alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
-        if layout not in ("k1", "fmajor", "pair"):
+        if layout not in ("reg", "k1", "fmajor", "pair"):
             raise ValueError(f"unknown layout {layout!r}")
         pair = layout == "pair" and r % 2 == 0
         fmajor = layout == "fmajor"
+        if layout == "reg":
+            # In-register reorder kernel: natural-order re/im planes out,
+            # zero XLA-side relayout (_make_packed_reg_kernel docstring).
+            tables = tables[:3] + (p_tab, q_tab) + tables[5:] + (alt,)
+            if vma:
+                tables = tuple(jax.lax.pcast(jnp.asarray(t), tuple(vma),
+                                             to="varying") for t in tables)
+            reg_blk = pl.BlockSpec((r, h, n1), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            reg_shape = jax.ShapeDtypeStruct((f_total, h, n1), dtype,
+                                             vma=_vma(x3))
+            zr, zi = pl.pallas_call(
+                _make_packed_reg_kernel(precision, h, n1),
+                grid=(f_total // r,),
+                in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
+                out_specs=(reg_blk, reg_blk),
+                out_shape=(reg_shape, reg_shape),
+                cost_estimate=pl.CostEstimate(
+                    flops=int(8 * N * (n1 + n2) * f_total),
+                    bytes_accessed=2 * f_total * N
+                    * np.dtype(dtype).itemsize,
+                    transcendentals=0),
+                interpret=interpret,
+            )(x3, s3, *tables)
+            if _debug_stage == "kernel":
+                return ((zr, zi), s_fin)
+            return ((zr.reshape(c, nf, h, n1),
+                     zi.reshape(c, nf, h, n1)), s_fin)
         if pair:
             # Block-diagonal 2-frame step-1 table
             # (_make_packed_pair_kernel docstring).

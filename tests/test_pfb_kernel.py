@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 from simpledsp_tpu.kernels.pfb import (
-    PFBOperators,
     pfb_am_frames,
     pfb_channelize_frames,
     pfb_fm_frames,

@@ -49,15 +49,14 @@ def main():
     prec = jax.lax.Precision.HIGH
 
     cases = [
-        ("full_r16", dict(half_spectrum=False, frames_per_tile=16)),
-        ("half_k1_r16", dict(half_spectrum=True, layout="k1",
-                             frames_per_tile=16)),
         ("half_k1_r32", dict(half_spectrum=True, layout="k1",
                              frames_per_tile=32)),
-        ("half_fmajor_r32", dict(half_spectrum=True, layout="fmajor",
-                                 frames_per_tile=32)),
-        ("half_pair_r32", dict(half_spectrum=True, layout="pair",
-                               frames_per_tile=32)),
+        ("half_reg_r16", dict(half_spectrum=True, layout="reg",
+                              frames_per_tile=16)),
+        ("half_reg_r32", dict(half_spectrum=True, layout="reg",
+                              frames_per_tile=32)),
+        ("half_reg_r64", dict(half_spectrum=True, layout="reg",
+                              frames_per_tile=64)),
     ]
     fns = {}
     for name, kw in cases:

@@ -8,7 +8,6 @@
 Run:  python -m tools.probe_transpose
 """
 
-import functools
 import json
 import time
 
