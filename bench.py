@@ -42,7 +42,7 @@ def main():
     x = chain.frame_input(rng.standard_normal((c, t)).astype(np.float32))
     s0 = jnp.zeros((c, 2 * (chain.design.nsections + 1)), dtype=jnp.float32)
 
-    fwd = jax.jit(chain._forward)
+    fwd = chain._jit   # pins spectra output layout (models/northstar.py)
     # Warm-up / compile, synced by a VALUE FETCH: block_until_ready is not
     # reliable through this TPU runtime's tunnel (it can return before the
     # work executes), but fetching a value data-dependent on the result

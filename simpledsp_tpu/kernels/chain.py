@@ -530,6 +530,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        shard_powers: Optional[np.ndarray] = None,
                        half_spectrum: bool = False,
                        layout: str = "reg",
+                       flat_out: bool = False,
                        _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
@@ -705,8 +706,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
             # zero XLA-side relayout (_make_packed_reg_kernel docstring).
             tables = tables[:3] + (p_tab, q_tab) + tables[5:] + (alt,)
             if vma:
-                tables = tuple(jax.lax.pcast(jnp.asarray(t), tuple(vma),
-                                             to="varying") for t in tables)
+                # Only the NEW numpy tables still need the varying cast
+                # (the shared ones were cast above).
+                tables = tuple(
+                    t if isinstance(t, jnp.ndarray) else jax.lax.pcast(
+                        jnp.asarray(t), tuple(vma), to="varying")
+                    for t in tables)
             reg_blk = pl.BlockSpec((r, h, n1), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
             reg_shape = jax.ShapeDtypeStruct((f_total, h, n1), dtype,
@@ -724,7 +729,13 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                     transcendentals=0),
                 interpret=interpret,
             )(x3, s3, *tables)
-            if _debug_stage == "kernel":
+            if _debug_stage == "kernel" or flat_out:
+                # flat_out: (C F, n2/2, n1) planes, already natural bin
+                # order — reshaping to (C, F, ...) INSIDE jit forces XLA
+                # to copy both planes to the canonical entry layout
+                # (268 MB/call, seen as copy.48/49 in the profiler
+                # trace); callers split the leading dim OUTSIDE jit for
+                # free.
                 return ((zr, zi), s_fin)
             return ((zr.reshape(c, nf, h, n1),
                      zi.reshape(c, nf, h, n1)), s_fin)

@@ -81,16 +81,31 @@ class NorthStarChain:
                     self.design, self.fft_size, dtype=dtype)
             except ValueError:
                 pass
-        self._jit = jax.jit(self._forward)
+        # Pin the spectra outputs to row-major: XLA's entry-layout
+        # heuristic otherwise "compacts" the (C F, N/2/n1, n1) planes to
+        # a {0,2,1} layout, inserting two 268 MB/call copies after the
+        # kernel (profiler trace copy.48/49) for zero semantic gain.
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+        # local_devices: under jax.distributed a global-device pin would
+        # make the output non-addressable on other processes.
+        rm = Format(Layout(major_to_minor=(0, 1, 2)),
+                    SingleDeviceSharding(jax.local_devices()[0]))
+        self._jit = jax.jit(self._forward,
+                            out_shardings=((rm, rm), None))
 
     def _forward(self, x: jnp.ndarray, s0: jnp.ndarray):
         """Jittable body: x (C, T); s0 flat state (C, D).  Returns packed
         one-sided RI spectra planes (each (C, F, N/2)) and the final
         state."""
         if self._fused_ops is not None:
+            # flat_out: (C F, N/2/n1, n1) planes — reshaping to (C, F,
+            # ...) inside jit costs two 268 MB layout copies (profiler
+            # trace copy.48/49); __call__ splits the leading dim outside
+            # jit for free.
             return _kchain.fused_chain_frames(
                 self._fused_ops, x, s0, precision=self.precision,
-                half_spectrum=True)
+                half_spectrum=True, flat_out=True)
         y, s_fin = self.iir.run_blocks(
             x.reshape(x.shape[0], -1, self.iir.block_size), s0)
         y = y.reshape(x.shape[0], -1, self.fft_size)
@@ -126,7 +141,8 @@ class NorthStarChain:
             state = iir_init(m, (c,), dtype=self.dtype)
         s0 = state.y_hist.reshape(c, -1)
         (sr, si), s_fin = self._jit(x.astype(self.dtype), s0)
-        if sr.ndim == 4:   # fused path: free flatten to natural bin order
+        if self._fused_ops is not None:
+            # Fused path: free flatten to natural bin order outside jit.
             sr = sr.reshape(c, -1, self.fft_size // 2)
             si = si.reshape(c, -1, self.fft_size // 2)
         return (sr, si), IIRState(s_fin.reshape(c, m + 1, 2))

@@ -7,7 +7,7 @@ vma on its grid-loop carries).  This script runs the exact pod code path —
 on a (dp=1, sp=1) mesh over the one real chip — and proves parity with the
 serial ``NorthStarChain`` plus streaming-state consistency.
 
-Run:  python tools/tpu_shardmap_parity.py          (from the repo root)
+Run:  python -m tools.tpu_shardmap_parity          (from the repo root)
 Exit 0 on parity; prints one JSON line with the max deviations.
 """
 
