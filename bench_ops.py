@@ -98,7 +98,7 @@ def main():
                            precision=jax.lax.Precision.HIGH)
     x = chain.frame_input(np.asarray(x))  # pre-framed upload (see bench.py)
     s0 = jnp.zeros((c, 10), jnp.float32)
-    fwd = jax.jit(chain._forward)
+    fwd = chain._jit   # pinned output layout (models/northstar.py)
     out, s = fwd(x, s0)
     float(jnp.sum(s))
     iters = 16
