@@ -61,7 +61,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["PFBOperators", "pfb_fm_frames", "pfb_am_frames",
-           "pfb_channelize_frames"]
+           "pfb_channelize_frames", "pfb_fm_flat", "pfb_am_flat",
+           "flat_pad_to", "halo_frames"]
 
 
 class PFBOperators:
@@ -232,7 +233,8 @@ def _dft_split(ur, ui, wstb_ref, pm: int, prec):
 
 def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
                     k: int, pm: int, pack: int, ntiles: int, total: int,
-                    gain: float, prec, crows: int = 0):
+                    gain: float, prec, crows: int = 0,
+                    emit_sum: bool = False):
     """Flat-input kernel body: tiles are read STRAIGHT from the flat
     (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate
     contiguous DMA — and re-laid to channel-major in registers
@@ -253,6 +255,9 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
              sem_r, sem_i) = rest
         elif mode == "am":
             taps_ref, wstb_ref, o_ref, scr_r, scr_i, sem_r, sem_i = rest
+        elif emit_sum:  # am_dec + per-call env sums (exact DC removal)
+            (ah_ref, taps_ref, wstb_ref, dmat_ref, o_ref, aho_ref,
+             es_ref, scr_r, scr_i, acr, eacc, sem_r, sem_i) = rest
         else:  # am_dec
             (ah_ref, taps_ref, wstb_ref, dmat_ref, o_ref, aho_ref,
              scr_r, scr_i, acr, sem_r, sem_i) = rest
@@ -310,7 +315,19 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
             o_ref[0] = jnp.sqrt(yr * yr + yi * yi)
             return
         if mode == "am_dec":
-            decimate(jnp.sqrt(yr * yr + yi * yi))
+            env = jnp.sqrt(yr * yr + yi * yi)
+            decimate(env)
+            if emit_sum:
+                # Per-call env sum (for exact post-hoc DC removal): the
+                # block mean is non-causal, but mean removal is LINEAR —
+                # the model corrects the raw audio with mu and the
+                # carried mu_prev (models/sdr.py AM path).
+                @pl.when(jax.lax.rem(s, i32(ntiles)) == 0)
+                def _():
+                    eacc[:] = jnp.zeros_like(eacc)
+
+                eacc[:] = eacc[:] + jnp.sum(env, axis=(0, 2))[:, None]
+                es_ref[0] = eacc[:]
             return
 
         # FM discriminator, phase-major: the g-1 line rotates the phase
@@ -716,7 +733,7 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
               xpi: jnp.ndarray, extra, *, gain: float, row_tile: int,
               g: "int | None", precision, interpret: bool,
               pack: "int | None", dec_taps=None, decim: int = 1,
-              ahist=None):
+              ahist=None, emit_sum: bool = False):
     """Flat-input driver: xpr/xpi are (B, W) history-prefixed padded flat
     planes, W % 128 == 0.  See _make_flat_body."""
     b, w = xpr.shape
@@ -807,7 +824,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             .reshape(bp, pm, crows, f8).transpose(0, 3, 1, 2)
         acr_scr = [pltpu.VMEM((f8, pm, crows), dtype)]
     body = _make_flat_body(mode, m, f8, rt, hrows, k, pm, pack, ntiles,
-                           total, float(gain), prec, crows=crows)
+                           total, float(gain), prec, crows=crows,
+                           emit_sum=emit_sum)
     if mode.startswith("fm"):
         prev_r, prev_i = extra
         pr3 = prev_r.reshape(bp, pm, 1)
@@ -857,18 +875,35 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             cost_estimate=cost, interpret=interpret,
         )(x4r, x4i, *consts)
         return env.transpose(0, 2, 3, 1).reshape(b, m, g)
-    audio, aho = pl.pallas_call(
-        body, grid=(total,),
-        in_specs=[any_spec, any_spec, ah_blk] + const_specs,
-        out_specs=(audio_blk, ah_blk),
-        out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
-                   jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
-        scratch_shapes=scratch + acr_scr + sems,
-        cost_estimate=cost, interpret=interpret,
-    )(x4r, x4i, ah_in, *consts)
+    if emit_sum:
+        sum_blk = pl.BlockSpec((1, pm, 1), lambda s: (s // ntiles, 0, 0))
+        audio, aho, esum = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec, ah_blk] + const_specs,
+            out_specs=(audio_blk, ah_blk, sum_blk),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype)),
+            scratch_shapes=scratch + acr_scr
+            + [pltpu.VMEM((pm, 1), dtype)] + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(x4r, x4i, ah_in, *consts)
+    else:
+        audio, aho = pl.pallas_call(
+            body, grid=(total,),
+            in_specs=[any_spec, any_spec, ah_blk] + const_specs,
+            out_specs=(audio_blk, ah_blk),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
+            scratch_shapes=scratch + acr_scr + sems,
+            cost_estimate=cost, interpret=interpret,
+        )(x4r, x4i, ah_in, *consts)
     kd = np.asarray(dec_taps).size
     aho2 = aho.transpose(0, 2, 3, 1).reshape(b, m, crows * f8) \
         [..., crows * f8 - (kd - 1):]
+    if emit_sum:
+        return (audio.reshape(b, m, g // decim), aho2,
+                esum.reshape(b, m))
     return audio.reshape(b, m, g // decim), aho2
 
 
@@ -895,11 +930,15 @@ def pfb_am_flat(ops: PFBOperators, xpr: jnp.ndarray, xpi: jnp.ndarray, *,
                 row_tile: int = 128, g: "int | None" = None,
                 pack: "int | None" = None, precision=None,
                 dec_taps=None, decim: int = 1, ahist=None,
-                interpret: bool = False):
+                emit_sum: bool = False, interpret: bool = False):
     """FLAT-input channelize + AM envelope (+ optional fused decimation);
-    see :func:`pfb_fm_flat` / :func:`pfb_am_frames`."""
+    see :func:`pfb_fm_flat` / :func:`pfb_am_frames`.
+
+    emit_sum (with dec_taps): also return the per-call env sums (B, M) —
+    mean removal is linear, so the model applies EXACT block-mean DC
+    removal to the fused raw audio after the fact (models/sdr.py)."""
     mode = "am" if dec_taps is None else "am_dec"
     return _run_flat(mode, ops, xpr, xpi, None, gain=0.0,
                      row_tile=row_tile, g=g, precision=precision,
                      interpret=interpret, pack=pack, dec_taps=dec_taps,
-                     decim=decim, ahist=ahist)
+                     decim=decim, ahist=ahist, emit_sum=emit_sum)

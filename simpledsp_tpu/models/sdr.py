@@ -36,6 +36,14 @@ class SDRState(NamedTuple):
     chan: ChanStateRI    # channelizer input history (RI planes)
     demod: DemodStateRI  # per-channel last IQ sample (RI planes)
     audio: FIRState      # per-channel decimator history (real)
+    # AM remove_dc only: the previous call's per-channel env mean (B, M).
+    # Block-mean DC removal is non-causal but LINEAR, so the fused kernel
+    # decimates the RAW envelope and the model corrects exactly:
+    # audio = audio_raw - mu*(S - Sc[n]) - mu_prev*Sc[n], Sc[n] = the tap
+    # mass falling on the carried history for output n.  (The raw-domain
+    # FIR history stored here therefore differs from the XLA path's
+    # env-mu domain values; the produced AUDIO is identical.)
+    dc: Optional[jnp.ndarray] = None
 
 
 class FMReceiverBank:
@@ -197,6 +205,25 @@ class AMReceiverBank(FMReceiverBank):
                          use_pallas=use_pallas)
         self.remove_dc = remove_dc
 
+    def init_state(self, batch: int) -> SDRState:
+        st = super().init_state(batch)
+        if not self.remove_dc:
+            return st
+        # Previous-call env mean for the exact fused DC removal
+        # (SDRState.dc): zero matches the XLA path's zero FIR history.
+        return st._replace(dc=jnp.zeros((batch, self.m), dtype=self.dtype))
+
+    def _carry_tap_sums(self, gd: int) -> jnp.ndarray:
+        """Sc[n] = tap mass hitting the carried FIR history for output n
+        (nonzero only for the first ceil((Kd-1)/decim) outputs)."""
+        h = np.asarray(self._ataps, np.float64)
+        kd = h.size
+        sc = np.zeros(gd)
+        j = np.arange(kd)
+        for n in range(min(gd, -(-(kd - 1) // self.decim))):
+            sc[n] = h[j > n * self.decim].sum()
+        return jnp.asarray(sc, dtype=self.dtype)
+
     def _forward(self, xr: jnp.ndarray, xi: jnp.ndarray, state: SDRState):
         g = self._fused_g(xr.shape[-1]) if self.use_pallas else None
         if g is not None:
@@ -210,14 +237,24 @@ class AMReceiverBank(FMReceiverBank):
                     ahist=state.audio.hist, interpret=self._interpret)
                 return audio, SDRState(chan_state, state.demod,
                                        FIRState(ahist))
-            env = pfb_am_flat(self.chan.kernel_ops, xpr, xpi, g=g,
-                              interpret=self._interpret)
-            # Block-mean DC removal spans the whole call (non-causal), so
-            # it cannot fuse into the streaming kernel; decimate in XLA.
-            env = env - jnp.mean(env, axis=-1, keepdims=True)
-        else:
-            (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi,
-                                                           state.chan)
-            env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
+            # remove_dc: block-mean removal is non-causal but LINEAR —
+            # decimate the RAW envelope in-kernel, then correct exactly
+            # with this call's mean and the carried previous mean
+            # (SDRState.dc docstring).  The envelope never leaves VMEM.
+            audio_raw, ahist, esum = pfb_am_flat(
+                self.chan.kernel_ops, xpr, xpi, g=g,
+                dec_taps=self._ataps, decim=self.decim,
+                ahist=state.audio.hist, emit_sum=True,
+                interpret=self._interpret)
+            mu = esum / g
+            s_all = float(np.sum(np.asarray(self._ataps, np.float64)))
+            sc = self._carry_tap_sums(g // self.decim)
+            audio = (audio_raw - mu[..., None] * (s_all - sc)
+                     - state.dc[..., None] * sc)
+            return audio, SDRState(chan_state, state.demod,
+                                   FIRState(ahist), mu)
+        (ir, ii), chan_state = self.chan.process_ri_cm(xr, xi, state.chan)
+        env = am_demod_ri(ir, ii, remove_dc=self.remove_dc)
         audio, audio_state = self.audio(env, state.audio)
-        return audio, SDRState(chan_state, state.demod, audio_state)
+        return audio, SDRState(chan_state, state.demod, audio_state,
+                               state.dc)

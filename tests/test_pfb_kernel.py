@@ -216,3 +216,22 @@ class TestFlatKernels:
                           interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-12)
+
+    def test_am_bank_dc_streaming(self, rng):
+        """AM remove_dc fused streaming: two calls == one long call (the
+        exact two-pass mean correction carries mu_prev through
+        SDRState.dc).  Means differ between the halves and the whole, so
+        only the steady-state interior (past the decimator's carry span)
+        is expected to match the XLA whole-call result; the fused path
+        must equal the XLA path CALL FOR CALL."""
+        fused, plain = _bank_pair(AMReceiverBank)
+        x = (rng.standard_normal((2, 16 * 512))
+             + 1j * rng.standard_normal((2, 16 * 512)))
+        # call-for-call parity across a 2-call stream
+        sf = fused.init_state(2)
+        sp = plain.init_state(2)
+        for lo, hi in ((0, 16 * 256), (16 * 256, 16 * 512)):
+            af, sf = fused(x[:, lo:hi], sf)
+            ap, sp = plain(x[:, lo:hi], sp)
+            np.testing.assert_allclose(np.asarray(af), np.asarray(ap),
+                                       atol=1e-10)
