@@ -65,8 +65,8 @@ def main():
         del out
         return max(t_loop - t_fetch, 1e-9) / iters
 
-    # Median of 3 loops: the tunnel shows >1.5x run-to-run drift.
-    dt = sorted(one_loop() for _ in range(3))[1]
+    # Median of 5 loops: the tunnel shows >1.5x run-to-run drift.
+    dt = sorted(one_loop() for _ in range(5))[2]
 
     msps = c * t / dt / 1e6
     result = {
