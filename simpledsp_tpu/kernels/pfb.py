@@ -12,13 +12,23 @@ runs the WHOLE per-channel receiver front-end in VMEM per time tile:
 so each input plane is read from HBM exactly once and only the
 demodulated audio-rate signal is written back.
 
-Layout contract (the channel-major trick, cf. ops/channelizer.py): the
-history-prefixed input planes are framed to (B, nfr, M) — a FREE row-major
-reshape — then transposed once in XLA to (B, M, nfr) so the kernel's lane
-axis is the long frame/time axis and every HBM<->VMEM DMA moves full
-tiles.  Sublane m of the transposed frame holds samples x[f*M + m], which
-is branch r = M-1-m's input lag line; the flip is folded into the tap and
-DFT tables at trace time (see PFBOperators).
+TWO input layouts:
+
+* FLAT (``pfb_fm_flat`` / ``pfb_am_flat`` — what the receiver banks use):
+  the kernels DMA contiguous 128-sample rows straight from the
+  history-prefixed (B, W) stream at full rate and re-lay them to
+  channel-major IN REGISTERS (:func:`_untranspose`), because (a) Mosaic
+  rejects any HBM slice whose minor dim is not 128-aligned, so a
+  (B, M, nfr) layout with M = 16 cannot even be DMAed efficiently, and
+  (b) the XLA (nfr, M) -> (M, nfr) transpose measured 10.4 ms/call —
+  more than the whole fused kernel.
+* FRAMES (``pfb_*_frames``): pre-transposed (B, M, nfr) channel-major
+  planes (ops/channelizer.py frames_t) — kept as the bare-channelizer
+  entry and the oracle for the flat kernels' tests.
+
+Channel-major row semantics (both layouts): sublane m holds samples
+x[f*M + m], which is branch r = M-1-m's input lag line; the flip is
+folded into the tap and DFT tables at trace time (see PFBOperators).
 
 Branch math (ops/channelizer.py docstring, verified against scipy in
 tests/test_channelizer_demod.py):
