@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -86,11 +87,20 @@ def _cmd_rx(args, mode: str) -> int:
     audio = []
     t0 = time.time()
     nsamp = 0
+    # Keep a few device results in flight: jax dispatch is async, so
+    # fetching block i-2 while the device chews block i overlaps ingest,
+    # host conversion, upload, and download with compute (the same
+    # chained-stream pattern bench.py measures).
+    pending: "deque" = deque()
     for re, im in _ingest_blocks(args.input, args.format, block):
         a, state = rx((jnp.asarray(re[None, :]), jnp.asarray(im[None, :])),
                       state)
-        audio.append(np.asarray(a[0]))
+        pending.append(a)
         nsamp += re.size
+        if len(pending) > 2:
+            audio.append(np.asarray(pending.popleft()[0]))
+    while pending:
+        audio.append(np.asarray(pending.popleft()[0]))
     if not audio:
         print("no complete blocks read", file=sys.stderr)
         return 1
@@ -136,11 +146,19 @@ def _cmd_spectra(args) -> int:
     sr_acc = []
     si_acc = []
     t0 = time.time()
+    pending: "deque" = deque()
     for re, _ in _ingest_blocks(args.input, "f32", block):
         (sr, si), state = chain(jnp.asarray(re[None, :]), state)
-        sr_acc.append(np.asarray(sr[0]))
-        si_acc.append(np.asarray(si[0]))
+        pending.append((sr, si))
         frames += sr.shape[1]
+        if len(pending) > 2:
+            pr, pi = pending.popleft()
+            sr_acc.append(np.asarray(pr[0]))
+            si_acc.append(np.asarray(pi[0]))
+    while pending:
+        pr, pi = pending.popleft()
+        sr_acc.append(np.asarray(pr[0]))
+        si_acc.append(np.asarray(pi[0]))
     if not sr_acc:
         print("no complete blocks read", file=sys.stderr)
         return 1

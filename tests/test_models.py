@@ -178,3 +178,24 @@ class TestStreamingSoak:
         (ar, ai), _ = chain(jnp.asarray(x))
         np.testing.assert_allclose(outs[150][0][0, 0],
                                    np.asarray(ar)[0, 150], atol=1e-9)
+
+
+@pytest.mark.parametrize("nfft", [1024, 2048, 8192])
+def test_fused_chain_other_fft_sizes(rng, nfft):
+    """The fused packed half-spectrum path is not 4096-specific: any
+    n1*128 size factorizes onto the same kernel."""
+    from simpledsp_tpu.kernels.chain import (FusedNorthStarOperators,
+                                             fused_chain_frames)
+    design = default_design()
+    ops = FusedNorthStarOperators(design, fft_size=nfft, dtype=jnp.float64)
+    x = rng.standard_normal((2, nfft * 3))
+    s0 = jnp.zeros((2, ops.state_dim))
+    (zr, zi), _ = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                     half_spectrum=True, interpret=True)
+    y = sig.sosfilt(sos_matrix(design), x, axis=-1)
+    full = np.fft.rfft(y.reshape(2, -1, nfft))
+    pr = full.real[..., :-1]
+    pi = np.concatenate([full.real[..., -1:], full.imag[..., 1:-1]], -1)
+    got = (np.asarray(zr).reshape(2, -1, nfft // 2)
+           + 1j * np.asarray(zi).reshape(2, -1, nfft // 2))
+    assert np.abs(got - (pr + 1j * pi)).max() < 1e-9
