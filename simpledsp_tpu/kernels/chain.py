@@ -358,6 +358,77 @@ def _make_packed_reg_kernel(precision, n2h: int, n1: int):
     return body
 
 
+def _make_packed_regg_kernel(precision, n2h: int, n1: int, g: int):
+    """Grouped variant of :func:`_make_packed_reg_kernel`: step 1 contracts
+    g frames at once against the block-diagonal table
+
+        Wg = blockdiag(W1cs, ..., W1cs)    (2 g n1, g n1)
+
+    via the FREE leading-dim regroup (r, n1, n2) -> (r/g, g n1, n2).  MXU
+    cost is ceil(M/128) ceil(K/128) ceil(N/128) passes; the ungrouped
+    stacked dot (M = 2 n1 = 64, K = n1 = 32) runs at 1/8 tile utilization
+    and is ~half of ALL kernel passes.  g = 2 fills K = 64 and halves the
+    pass count (32 -> 16 per r = 32 tile); g = 4 fills M = 256, K = 128 at
+    the same 16 (the block-diagonal zero fraction grows as (g-1)/g, so
+    pass count is flat beyond g = 2 — but fewer, fatter dots can still
+    schedule better).  Twiddle + packed step 3 + Nyquist run per group
+    half exactly as in the reg kernel; the g per-half (r/g, n2, n1)
+    register tiles are re-interleaved with one leading-axis concat +
+    merge, so the OUTPUT CONTRACT IS IDENTICAL to "reg" (natural-order
+    re/im planes, zero XLA relayout).
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1g_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, or_ref, oi_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        r, _, n2 = y.shape
+        # Frame f = g p + q lands at sublane block q of group row p.
+        yg = y.reshape(r // g, g * n1, n2)
+        cs = dot1f(w1g_ref[:], yg)          # (2 g n1, r/g, n2)
+
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (r // g, n2), 1)
+        alt = alt_ref[:]
+        parts = []
+        for qi in range(g):
+            c_r = cs[2 * n1 * qi: 2 * n1 * qi + n1]
+            s_r = cs[2 * n1 * qi + n1: 2 * n1 * (qi + 1)]
+            tr = c_r * T_c - s_r * T_s
+            ti = s_r * T_c + c_r * T_s
+            out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+            nyq = jnp.sum(tr[0] * alt, axis=-1, keepdims=True)
+            row0 = jnp.where(lane == n2h, nyq, out[0])
+            out = jax.lax.concatenate([row0[None], out[1:]], 0)
+            # (n1, r/g, n2) -> (r/g, 1, n2, n1): the same Mosaic-legal 3-D
+            # transpose as the reg kernel, plus a free unit leading axis.
+            parts.append(jnp.transpose(out, (1, 2, 0))[:, None])
+        # Re-interleave groups: (r/g, g, n2, n1) -> (r, n2, n1) is a free
+        # leading-dim merge, restoring natural frame order f = g p + q.
+        t5 = jax.lax.concatenate(parts, 1).reshape(r, n2, n1)
+        or_ref[:] = t5[:, :n2h]
+        oi_ref[:] = t5[:, n2h:]
+
+    return body
+
+
 def _make_packed_fmajor_kernel(precision, n2h: int, n1: int):
     """Packed half-spectrum kernel with FRAME-MAJOR output blocks.
 
@@ -550,14 +621,20 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         whose flattened bin order is k = k1 + n1*k2 for k < N/2, with
         X[N/2].re packed in the imag plane's bin-0 slot (FFTW halfcomplex;
         see ops.fft.unpack_rfft_ri).
-      layout: half-spectrum kernel variant — "reg" (default: k1-major
+      layout: half-spectrum kernel variant — "reg" (k1-major
         compute + in-register bin reorder, natural-order planes out, zero
-        XLA relayout), "k1" (k1-major blocks + XLA reorder transpose),
+        XLA relayout), "reg2"/"reg4" (reg plus 2-/4-frame block-diagonal
+        step 1 — halves step-1 MXU passes, same output contract),
+        "k1" (k1-major blocks + XLA reorder transpose),
         "fmajor" (frame-major contiguous stores, but 32-64-lane
         intermediates), or "pair" (2-frame block-diagonal step 1; 4-D
         reorder transpose).  Measured e2e chained on v5e (c=64, HIGH):
         reg 9.3-9.6 Gs/s, k1 9.0, pair 8.9, fmajor 6.2 —
-        tools/bench_chain_v2.py.
+        tools/bench_chain_v2.py.  A later same-process shootout: reg 8.5,
+        reg2 8.2, reg4 6.8 (and r >= 64 tiles fail Mosaic compilation) —
+        halving step-1 MXU passes LOSES, confirming the kernel is
+        relayout/VPU-bound, not pass-bound; reg2/reg4 are kept as
+        documented measured-and-rejected variants.
 
     Returns ((spec_re, spec_im) each (C, F, n2, n1) — or (C, F, n2/2, n1)
     with half_spectrum — and s_final (C, D)).  The spectra's last two axes
@@ -657,8 +734,14 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         # pre-pass so its cost can be attributed separately.
         return ((s3, s3), s_fin)
 
-    max_r = max(1, (13 << 20) // (20 * N * np.dtype(dtype).itemsize))
+    # Per-frame VMEM: x + state + output planes, double-buffered across
+    # grid steps (~4.2 frame-units of N*itemsize for half-spectrum, ~6.2
+    # full) against the ~16 MB/core budget; the denominators carry ~40%
+    # slack for Mosaic's own scratch.
+    per_frame = 6 if half_spectrum else 9
+    max_r = max(1, (13 << 20) // (per_frame * N * np.dtype(dtype).itemsize))
     max_r = 1 << (max_r.bit_length() - 1)  # power of two for divisibility
+    max_r = min(max_r, 128)
     r = min(frames_per_tile, max_r)
     while f_total % r != 0:
         r //= 2
@@ -697,13 +780,26 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
         q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
         alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
-        if layout not in ("reg", "k1", "fmajor", "pair"):
+        if layout not in ("reg", "reg2", "reg4", "k1", "fmajor", "pair"):
             raise ValueError(f"unknown layout {layout!r}")
         pair = layout == "pair" and r % 2 == 0
         fmajor = layout == "fmajor"
-        if layout == "reg":
+        if layout.startswith("reg"):
             # In-register reorder kernel: natural-order re/im planes out,
             # zero XLA-side relayout (_make_packed_reg_kernel docstring).
+            # reg2/reg4 additionally group frames block-diagonally in
+            # step 1, halving its MXU passes (_make_packed_regg_kernel).
+            g = int(layout[3:] or "1")
+            while g > 1 and r % g:
+                g //= 2
+            if g > 1:
+                w1cs_t = tables[2]
+                w1g = np.zeros((g * 2 * n1, g * n1), dtype=p_tab.dtype)
+                for gq in range(g):
+                    w1g[2 * n1 * gq: 2 * n1 * (gq + 1),
+                        n1 * gq: n1 * (gq + 1)] = w1cs_t
+                tables = tables[:2] + (np.ascontiguousarray(w1g),) \
+                    + tables[3:]
             tables = tables[:3] + (p_tab, q_tab) + tables[5:] + (alt,)
             if vma:
                 # Only the NEW numpy tables still need the varying cast
@@ -716,8 +812,11 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                                    memory_space=pltpu.VMEM)
             reg_shape = jax.ShapeDtypeStruct((f_total, h, n1), dtype,
                                              vma=_vma(x3))
+            reg_kernel = (_make_packed_reg_kernel(precision, h, n1)
+                          if g == 1 else
+                          _make_packed_regg_kernel(precision, h, n1, g))
             zr, zi = pl.pallas_call(
-                _make_packed_reg_kernel(precision, h, n1),
+                reg_kernel,
                 grid=(f_total // r,),
                 in_specs=[in_blk, s_blk] + [const_spec(a) for a in tables],
                 out_specs=(reg_blk, reg_blk),

@@ -124,6 +124,33 @@ class TestFusedChain:
         np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_all),
                                    atol=1e-12)
 
+    @pytest.mark.parametrize("layout", ["reg", "reg2", "reg4", "k1",
+                                        "fmajor", "pair"])
+    def test_half_spectrum_layouts_match_oracle(self, rng, layout):
+        """Every half-spectrum kernel variant produces the identical packed
+        one-sided spectrum (interpret mode; the layouts differ only in MXU
+        scheduling and output relayout, never in semantics)."""
+        import scipy.signal as sig
+        from simpledsp_tpu.design.biquad import sos_matrix
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        design = default_design()
+        ops = FusedNorthStarOperators(design, 4096, dtype=jnp.float64)
+        x = rng.standard_normal((2, 8 * 4096))
+        s0 = jnp.zeros((2, ops.state_dim), jnp.float64)
+        (sr, si), s_fin = fused_chain_frames(
+            ops, jnp.asarray(x), s0, half_spectrum=True, layout=layout,
+            interpret=True, frames_per_tile=4)
+        got = (np.asarray(sr).reshape(2, -1, 2048)
+               + 1j * np.asarray(si).reshape(2, -1, 2048))
+        y64 = sig.sosfilt(sos_matrix(design), x, axis=-1)
+        ref = np.fft.rfft(y64.reshape(2, -1, 4096))
+        # Packed halfcomplex: bin 0's imag slot carries Nyquist.re.
+        packed = ref[..., :2048].copy()
+        packed[..., 0] += 1j * ref[..., 2048].real
+        assert np.abs(got - packed).max() < 1e-11
+
     def test_rejects_unsupported_fft_size(self):
         from simpledsp_tpu.kernels.chain import FusedNorthStarOperators
         from simpledsp_tpu.models.northstar import default_design

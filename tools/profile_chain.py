@@ -28,7 +28,7 @@ def main():
                            precision=jax.lax.Precision.HIGH)
     x = chain.frame_input(rng.standard_normal((c, t)).astype(np.float32))
     s0 = jnp.zeros((c, 2 * (chain.design.nsections + 1)), jnp.float32)
-    fwd = jax.jit(chain._forward)
+    fwd = chain._jit   # the pinned-output-layout production jit
     out, s = fwd(x, s0)
     float(jnp.sum(s))                      # warm + sync (value fetch)
     with jax.profiler.trace("/tmp/sdsp_trace_chain"):
