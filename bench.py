@@ -31,10 +31,14 @@ def main():
     # 64/128/256 channels, tools/bench_headline.py) — cost is purely
     # per-sample once the pipeline is full.
     c, t = 64, 1 << 20
-    # HIGH prepass einsums (~3-pass bf16) + in-kernel HIGHEST dots:
-    # 137 dB SNR vs the f64 reference (gate: 90 dB).
+    # precision=None -> HIGHEST everywhere (prepass einsums + in-kernel
+    # dots): 137.1 dB SNR vs the f64 reference, measured on-chip
+    # (tools/verify_chain_tpu.py).  The HIGH (3-pass bf16) prepass is
+    # ~10% faster but measures 101.0 dB — the bf16_3x rounding of the
+    # big x -> starts projection dominates — below the 130 dB bar this
+    # benchmark is quoted at, so it is NOT used here.
     chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
+                           precision=None)
     rng = np.random.default_rng(0)
     # Upload pre-framed (C, F, n1, n2): the same samples in the same order,
     # in the kernel's tiling — what a streaming producer would emit —

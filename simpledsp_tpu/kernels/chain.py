@@ -82,24 +82,34 @@ class FusedNorthStarOperators:
         self.Ff = pw[nb].astype(npdt)
 
         # ONE direct x -> prepass table (the K projection, the sub-block
-        # start input parts, and the frame-k rows all fused):
-        #   x_flat (F, N) @ TKt -> [starts_x (nb D) | k_frame (D)]
-        # with starts_x[p] = sum_{j<p} F^{p-1-j} K x[j-th block] and
-        # k_frame = sum_j F^{nb-1-j} K x[j].  The kx -> U2 two-step it
-        # replaces was relayout-bound on TPU: every intermediate had a
-        # D(~10)-lane minor dim, so each concat/reshape ran at <10% DMA
-        # lane utilization (measured 1.7 ms of a 2.3 ms prepass); this is
-        # one dense MXU matmul from the already-framed input.
-        TK = np.zeros(((nb + 1) * D, nb * self.n2))
-        for p in range(1, nb + 1):
+        # start input parts, and the frame-k rows all fused), in D-MAJOR
+        # start ordering:
+        #   x_flat (F, N) @ TKt -> [starts_x (n1 D, d-major) | k_frame (D)]
+        # with big[:, d*n1 + p] = (sum_{j<p} F^{p-1-j} K x[j-th blk])[d]
+        # and big[:, n1 D + d] = (sum_j F^{nb-1-j} K x[j])[d].  Each
+        # pw @ K product is computed HERE in float64 — measured on-chip:
+        # re-factoring this into two f32 matmuls (project kb = K x, then
+        # apply the F-power block-Toeplitz) loses ~37 dB (99.9 vs 137 dB
+        # end-to-end SNR; the near-unit-radius F powers cancel
+        # catastrophically against rounded kb) and is no faster.  The
+        # D-major column order makes the downstream (F, n1 D) ->
+        # (F, D, n1) view a free row-major bitcast (n1 stays minor),
+        # deleting the 0.40 ms/call relayout copy the profiler exposed
+        # (copy.41) for the old p-major (F, n1, 10) operand.
+        TKt = np.zeros((nb * self.n2, (nb + 1) * D))
+        for p in range(1, nb):
             for j in range(p):
-                TK[p * D:(p + 1) * D, j * self.n2:(j + 1) * self.n2] = \
-                    pw[p - 1 - j] @ K
-        self.TKt = np.ascontiguousarray(TK.T).astype(npdt)
-        # State part of the start expansion: s_frames (·, D) @ FpT.
+                TKt[j * self.n2:(j + 1) * self.n2,
+                    [d * nb + p for d in range(D)]] = (pw[p - 1 - j] @ K).T
+        for j in range(nb):
+            TKt[j * self.n2:(j + 1) * self.n2, nb * D:] = \
+                (pw[nb - 1 - j] @ K).T
+        self.TKt = np.ascontiguousarray(TKt).astype(npdt)
+        # State part of the start expansion, same D-major ordering:
+        # starts[f, d*n1 + p] += (F^p s_frame[f])[d].
         FpT = np.zeros((D, nb * D))
         for p in range(nb):
-            FpT[:, p * D:(p + 1) * D] = pw[p].T
+            FpT[:, [d * nb + p for d in range(D)]] = pw[p].T
         self.FpT = FpT.astype(npdt)
 
         self.H = H.astype(npdt)          # (n2, n2) lower-tri Toeplitz
@@ -218,6 +228,28 @@ def _frame_prefix_finish(tabs, L, W, s_in, F, prec, dtype):
     return s_after[:, :F]                                # (C, F, D)
 
 
+def _iir_block(x_ref, s_ref, h_ref, phi_ref, prec):
+    """IIR block conv in VMEM: y = x @ H^T + state response (r, n1, n2).
+
+    s_ref holds the sub-block starts in D-MAJOR layout (r, D, n1) — the
+    layout the XLA prepass emits as a free row-major bitcast — so the
+    state dot contracts the MIDDLE dim against Phi (n2, D): out dims =
+    (lhs free r, n1) x (rhs free n2).  Same result as the old (r, n1, D)
+    lane contraction, but the upstream (F, n1, 10) relayout copy
+    (profiler copy.41, 0.40 ms/call) becomes a no-op.
+    """
+    dtype = x_ref.dtype
+    dot_lane = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=prec)
+    dot_mid = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dtype, precision=prec)
+    return dot_lane(x_ref[:], h_ref[:]) + dot_mid(s_ref[:], phi_ref[:])
+
+
 def _make_packed_kernel(precision, n2h: int, n1: int):
     """Fused chain kernel emitting the PACKED HALF SPECTRUM of each frame.
 
@@ -270,7 +302,7 @@ def _make_packed_kernel(precision, n2h: int, n1: int):
             preferred_element_type=dtype, precision=prec)
 
         # IIR block conv in VMEM (see _make_fused_kernel).
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
 
         # Four-step FFT, steps 1-2: ONE stacked step-1 dot, then sublane
         # halves (8-aligned slices) split the cos/sin planes.
@@ -332,7 +364,7 @@ def _make_packed_reg_kernel(precision, n2h: int, n1: int):
             dimension_numbers=((((1,), (1,))), ((), ())),
             preferred_element_type=dtype, precision=prec)
 
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
         cs = dot1f(w1cs_ref[:], y)
         c_r = cs[:n1]
         s_r = cs[n1:]
@@ -356,6 +388,82 @@ def _make_packed_reg_kernel(precision, n2h: int, n1: int):
         oi_ref[:] = t5[:, n2h:]
 
     return body
+
+
+def _make_packed_regw_kernel(precision, n2h: int, n1: int, qf: int):
+    """Wide-store variant of :func:`_make_packed_reg_kernel`.
+
+    The reg kernel's output planes are (f, h, n1) — an n1(=32)-lane minor
+    dim, so every store moves sub-128-lane rows.  This kernel emits the
+    SAME bytes in the SAME natural bin order as (f, h/qf, qf*n1) planes
+    (row-major (qq, b, k1) flattens to bin k = k1 + n1*(qf*qq + b)), with
+    qf*n1 = 128 full lanes per row:
+
+      * step-3 tables are COLUMN-PERMUTED host-side so within each re/im
+        half, output lane b*w + qq holds bin k2 = qf*qq + b (w = h/qf);
+      * the in-register reorder becomes qf quarter-width transposes
+        (n1, r, w) -> (r, w, n1) per half plus one lane concatenate —
+        the same data movement as the reg kernel's single transpose, but
+        the result rows are 128 lanes wide.
+
+    The Nyquist packing slot (Im X[0], global lane n2h) is unchanged:
+    k2 = 0 maps to b = 0, qq = 0 — the first lane of the im half.
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+    w = n2h // qf
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1cs_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, or_ref, oi_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
+        cs = dot1f(w1cs_ref[:], y)
+        c_r = cs[:n1]
+        s_r = cs[n1:]
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+
+        nyq = jnp.sum(tr[0] * alt_ref[:], axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], 1)
+        row0 = jnp.where(lane == n2h, nyq, out[0])
+        out = jax.lax.concatenate([row0[None], out[1:]], 0)
+
+        parts_r = []
+        parts_i = []
+        for b in range(qf):
+            parts_r.append(jnp.transpose(
+                out[:, :, b * w:(b + 1) * w], (1, 2, 0)))
+            parts_i.append(jnp.transpose(
+                out[:, :, n2h + b * w:n2h + (b + 1) * w], (1, 2, 0)))
+        or_ref[:] = jax.lax.concatenate(parts_r, 2)   # (r, w, qf n1)
+        oi_ref[:] = jax.lax.concatenate(parts_i, 2)
+
+    return body
+
+
+def _regw_qf(n1: int, n2h: int) -> int:
+    """Largest lane-packing factor: qf*n1 <= 128, qf divides n2h."""
+    qf = max(1, 128 // n1)
+    while qf > 1 and n2h % qf:
+        qf -= 1
+    return qf
 
 
 def _make_packed_regg_kernel(precision, n2h: int, n1: int, g: int):
@@ -397,7 +505,7 @@ def _make_packed_regg_kernel(precision, n2h: int, n1: int, g: int):
             dimension_numbers=((((1,), (1,))), ((), ())),
             preferred_element_type=dtype, precision=prec)
 
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
         r, _, n2 = y.shape
         # Frame f = g p + q lands at sublane block q of group row p.
         yg = y.reshape(r // g, g * n1, n2)
@@ -465,7 +573,7 @@ def _make_packed_fmajor_kernel(precision, n2h: int, n1: int):
         dot_lane = make_dot(2, 1)
         dot_mid = make_dot(1, 0)    # contract lhs middle dim with rhs rows
 
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
 
         # Step 1: (r, n1, n2) x (n1, 2 n1) -> (r, n2, 2 n1).
         cs = dot_mid(y, w1t_ref[:])
@@ -525,7 +633,7 @@ def _make_packed_pair_kernel(precision, n2h: int, n1: int):
             dimension_numbers=((((1,), (1,))), ((), ())),
             preferred_element_type=dtype, precision=prec)
 
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
         r = y.shape[0]
         y2 = y.reshape(r // 2, 2 * n1, y.shape[2])
 
@@ -573,7 +681,7 @@ def _make_fused_kernel(precision, n1: int):
 
         # --- IIR block conv, entirely in VMEM (lane = n2 = 128) --------
         # y[r, blk, i] = sum_j H[i, j] x[r, blk, j] + sum_d Phi[i, d] s[r, blk, d]
-        y = dot_lane(x_ref[:], h_ref[:]) + dot_lane(s_ref[:], phi_ref[:])
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
 
         # --- four-step FFT, all intermediates 128-lane -----------------
         # step 1, stacked [W1c; W1s] (2 n1, n1) x y (r, n1, n2): one dot,
@@ -623,7 +731,9 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         see ops.fft.unpack_rfft_ri).
       layout: half-spectrum kernel variant — "reg" (k1-major
         compute + in-register bin reorder, natural-order planes out, zero
-        XLA relayout), "reg2"/"reg4" (reg plus 2-/4-frame block-diagonal
+        XLA relayout), "regw" (reg with qf bins packed per 128-lane
+        output row: same bytes/order as (C F, h/qf, qf n1) planes, wide
+        stores), "reg2"/"reg4" (reg plus 2-/4-frame block-diagonal
         step 1 — halves step-1 MXU passes, same output contract),
         "k1" (k1-major blocks + XLA reorder transpose),
         "fmajor" (frame-major contiguous stores, but 32-64-lane
@@ -660,10 +770,18 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     dtype = x.dtype
 
     prec_x = precision or jax.lax.Precision.HIGHEST
+    # The state-CHAIN dots (frame prefix, start/shard expansions) are tiny
+    # (~2 GFLOP/call vs the 44 GFLOP input projection) but their rounding
+    # errors compound through F-powers across all frames of the stream —
+    # always run them at HIGHEST; only the big x projection follows the
+    # caller's precision.
+    prec_s = jax.lax.Precision.HIGHEST
     f_total = c * nf
-    # ONE dense matmul from the framed input to all prepass vectors: the
-    # sub-block start input-parts and the frame-k rows (TKt docstring in
-    # FusedNorthStarOperators.__init__).
+    # ONE dense matmul from the framed input to all prepass vectors (the
+    # sub-block start input-parts, d-major, and the frame-k rows) —
+    # f64-precomputed operator products; see the TKt docstring in
+    # FusedNorthStarOperators.__init__ for why cheaper factorizations
+    # measured worse.
     x_flat = xsub.reshape(f_total, N)
     big = _tdot(x_flat, ops.TKt, prec_x, dtype)    # (cf, (nb + 1) D)
     if _debug_stage == "kx":
@@ -676,7 +794,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     # Frame-level state chain: two-level block-Toeplitz prefix.
     kf_t = jnp.moveaxis(k_frame, 1, 0)  # (F, C, D)
     tabs = ops.frame_prefix_tables(nf)
-    L_, W_, vc_last = _frame_prefix_start(tabs, kf_t, prec_x, dtype)
+    L_, W_, vc_last = _frame_prefix_start(tabs, kf_t, prec_s, dtype)
 
     if axis_name is None:
         s_local_in = s0
@@ -697,13 +815,13 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                       0.0)
         s_local_in = (jnp.einsum("de,ce->cd", jnp.take(apow, i, axis=0),
                                  s0, preferred_element_type=dtype,
-                                 precision=prec_x)
+                                 precision=prec_s)
                       + jnp.einsum("jde,jce->cd", w, kall,
                                    preferred_element_type=dtype,
-                                   precision=prec_x))
+                                   precision=prec_s))
 
     # States after each frame; frame STARTS prepend the incoming state.
-    s_after = _frame_prefix_finish(tabs, L_, W_, s_local_in, nf, prec_x,
+    s_after = _frame_prefix_finish(tabs, L_, W_, s_local_in, nf, prec_s,
                                    dtype)
     s_fin = s_after[:, -1]
     s_frames = jnp.concatenate([s_local_in[:, None], s_after[:, :-1]],
@@ -716,19 +834,21 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         own_w = jnp.take(apow, n_sh - 1 - jax.lax.axis_index(axis_name),
                          axis=0)
         s_fin = (jnp.einsum("de,ce->cd", apow[n_sh], s0,
-                            preferred_element_type=dtype, precision=prec_x)
+                            preferred_element_type=dtype, precision=prec_s)
                  + jax.lax.psum(jnp.einsum("de,ce->cd", own_w, k_shard,
                                            preferred_element_type=dtype,
-                                           precision=prec_x),
+                                           precision=prec_s),
                                 axis_name))
 
-    # Sub-block start expansion: state part + input part, both flat.
-    starts = _tdot(s_frames.reshape(f_total, D), ops.FpT, prec_x,
+    # Sub-block start expansion: state part + input part, both flat in
+    # D-major order, so the (f, n1 D) -> (f, D, n1) view is a free
+    # row-major bitcast (n1 stays the minor dim — no relayout copy).
+    starts = _tdot(s_frames.reshape(f_total, D), ops.FpT, prec_s,
                    dtype) + kxs
 
     # ---- fused Pallas kernel over frame tiles ----
     x3 = xsub.reshape(f_total, n1, n2)
-    s3 = starts.reshape(f_total, n1, D)
+    s3 = starts.reshape(f_total, D, n1)
     if _debug_stage == "prepass":
         # Measurement hook (tools/bench_phases.py): stop after the XLA
         # pre-pass so its cost can be attributed separately.
@@ -764,7 +884,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
 
     in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    s_blk = pl.BlockSpec((r, n1, D), lambda i: (i, 0, 0),
+    s_blk = pl.BlockSpec((r, D, n1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((n1, r, n2), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
@@ -780,16 +900,19 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
         q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
         alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
-        if layout not in ("reg", "reg2", "reg4", "k1", "fmajor", "pair"):
+        if layout not in ("reg", "regw", "reg2", "reg4", "k1", "fmajor",
+                          "pair"):
             raise ValueError(f"unknown layout {layout!r}")
         pair = layout == "pair" and r % 2 == 0
         fmajor = layout == "fmajor"
         if layout.startswith("reg"):
             # In-register reorder kernel: natural-order re/im planes out,
             # zero XLA-side relayout (_make_packed_reg_kernel docstring).
-            # reg2/reg4 additionally group frames block-diagonally in
-            # step 1, halving its MXU passes (_make_packed_regg_kernel).
-            g = int(layout[3:] or "1")
+            # regw packs qf bins per 128-lane output row (wide stores,
+            # _make_packed_regw_kernel); reg2/reg4 group frames
+            # block-diagonally in step 1 (_make_packed_regg_kernel).
+            qf = _regw_qf(n1, h) if layout == "regw" else 1
+            g = int(layout[3:] or "1") if layout != "regw" else 1
             while g > 1 and r % g:
                 g //= 2
             if g > 1:
@@ -800,6 +923,20 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                         n1 * gq: n1 * (gq + 1)] = w1cs_t
                 tables = tables[:2] + (np.ascontiguousarray(w1g),) \
                     + tables[3:]
+            if qf > 1:
+                # ROW-permute the step-3 tables (dot_lane contracts their
+                # dim 1, so output lane l = table row l) so within each
+                # re/im half, output lane b*w + qq holds bin
+                # k2 = qf*qq + b — the order the quarter-transpose +
+                # lane-concat emits as natural-bin-order
+                # (f, h/qf, qf*n1) planes.
+                wq = h // qf
+                idx = np.empty(h, dtype=np.int64)
+                for k2 in range(h):
+                    idx[(k2 % qf) * wq + k2 // qf] = k2
+                full = np.concatenate([idx, h + idx])
+                p_tab = np.ascontiguousarray(p_tab[full])
+                q_tab = np.ascontiguousarray(q_tab[full])
             tables = tables[:3] + (p_tab, q_tab) + tables[5:] + (alt,)
             if vma:
                 # Only the NEW numpy tables still need the varying cast
@@ -808,13 +945,17 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                     t if isinstance(t, jnp.ndarray) else jax.lax.pcast(
                         jnp.asarray(t), tuple(vma), to="varying")
                     for t in tables)
-            reg_blk = pl.BlockSpec((r, h, n1), lambda i: (i, 0, 0),
+            reg_blk = pl.BlockSpec((r, h // qf, qf * n1),
+                                   lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)
-            reg_shape = jax.ShapeDtypeStruct((f_total, h, n1), dtype,
-                                             vma=_vma(x3))
-            reg_kernel = (_make_packed_reg_kernel(precision, h, n1)
-                          if g == 1 else
-                          _make_packed_regg_kernel(precision, h, n1, g))
+            reg_shape = jax.ShapeDtypeStruct((f_total, h // qf, qf * n1),
+                                             dtype, vma=_vma(x3))
+            if qf > 1:
+                reg_kernel = _make_packed_regw_kernel(precision, h, n1, qf)
+            elif g > 1:
+                reg_kernel = _make_packed_regg_kernel(precision, h, n1, g)
+            else:
+                reg_kernel = _make_packed_reg_kernel(precision, h, n1)
             zr, zi = pl.pallas_call(
                 reg_kernel,
                 grid=(f_total // r,),
@@ -829,12 +970,12 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                 interpret=interpret,
             )(x3, s3, *tables)
             if _debug_stage == "kernel" or flat_out:
-                # flat_out: (C F, n2/2, n1) planes, already natural bin
-                # order — reshaping to (C, F, ...) INSIDE jit forces XLA
-                # to copy both planes to the canonical entry layout
-                # (268 MB/call, seen as copy.48/49 in the profiler
-                # trace); callers split the leading dim OUTSIDE jit for
-                # free.
+                # flat_out: (C F, n2/2/qf, qf n1) planes, already natural
+                # bin order when row-major-flattened — reshaping to
+                # (C, F, ...) INSIDE jit forces XLA to copy both planes
+                # to the canonical entry layout (268 MB/call, seen as
+                # copy.48/49 in the profiler trace); callers split the
+                # leading dim OUTSIDE jit for free.
                 return ((zr, zi), s_fin)
             return ((zr.reshape(c, nf, h, n1),
                      zi.reshape(c, nf, h, n1)), s_fin)

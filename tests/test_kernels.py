@@ -124,8 +124,8 @@ class TestFusedChain:
         np.testing.assert_allclose(np.asarray(s_end), np.asarray(s_all),
                                    atol=1e-12)
 
-    @pytest.mark.parametrize("layout", ["reg", "reg2", "reg4", "k1",
-                                        "fmajor", "pair"])
+    @pytest.mark.parametrize("layout", ["reg", "regw", "reg2", "reg4",
+                                        "k1", "fmajor", "pair"])
     def test_half_spectrum_layouts_match_oracle(self, rng, layout):
         """Every half-spectrum kernel variant produces the identical packed
         one-sided spectrum (interpret mode; the layouts differ only in MXU

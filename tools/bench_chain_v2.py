@@ -51,16 +51,12 @@ def main():
     cases = [
         ("half_reg_r32", dict(half_spectrum=True, layout="reg",
                               frames_per_tile=32)),
-        ("half_reg2_r32", dict(half_spectrum=True, layout="reg2",
+        ("half_regw_r32", dict(half_spectrum=True, layout="regw",
                                frames_per_tile=32)),
-        ("half_reg4_r32", dict(half_spectrum=True, layout="reg4",
-                               frames_per_tile=32)),
-        ("half_reg2_r64", dict(half_spectrum=True, layout="reg2",
+        ("half_regw_r16", dict(half_spectrum=True, layout="regw",
+                               frames_per_tile=16)),
+        ("half_regw_r64", dict(half_spectrum=True, layout="regw",
                                frames_per_tile=64)),
-        ("half_reg2_r128", dict(half_spectrum=True, layout="reg2",
-                                frames_per_tile=128)),
-        ("half_reg4_r128", dict(half_spectrum=True, layout="reg4",
-                                frames_per_tile=128)),
     ]
     fns = {}
     for name, kw in cases:
