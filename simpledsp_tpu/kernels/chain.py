@@ -408,6 +408,13 @@ def _make_packed_regw_kernel(precision, n2h: int, n1: int, qf: int):
 
     The Nyquist packing slot (Im X[0], global lane n2h) is unchanged:
     k2 = 0 maps to b = 0, qq = 0 — the first lane of the im half.
+
+    MEASURED AND REJECTED on v5e (kept as a documented variant): reg 8.4
+    vs regw 6.2 Gs/s e2e in one process (r64 6.7) — the qf quarter
+    transposes plus the 32-lane concatenate relayout cost far more than
+    the wide stores save; the per-tile (r, h, n1) store region is already
+    HBM-contiguous, so the narrow-lane penalty probe_store shows for
+    generic narrow copies evidently does not dominate here.
     """
     prec = (jax.lax.Precision.DEFAULT
             if precision == jax.lax.Precision.DEFAULT
