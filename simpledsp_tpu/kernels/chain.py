@@ -87,11 +87,11 @@ class FusedNorthStarOperators:
         #   x_flat (F, N) @ TKt -> [starts_x (n1 D, d-major) | k_frame (D)]
         # with big[:, d*n1 + p] = (sum_{j<p} F^{p-1-j} K x[j-th blk])[d]
         # and big[:, n1 D + d] = (sum_j F^{nb-1-j} K x[j])[d].  Each
-        # pw @ K product is computed HERE in float64 — measured on-chip:
-        # re-factoring this into two f32 matmuls (project kb = K x, then
-        # apply the F-power block-Toeplitz) loses ~37 dB (99.9 vs 137 dB
-        # end-to-end SNR; the near-unit-radius F powers cancel
-        # catastrophically against rounded kb) and is no faster.  The
+        # pw @ K product is computed HERE in float64.  The two-matmul
+        # factorization (KT/TO below) is precision-sensitive: at HIGH it
+        # loses ~37 dB (the near-unit-radius F powers cancel against
+        # f32-rounded kb), at HIGHEST it holds 136.8 dB and runs ~1-3%
+        # faster e2e — fused_chain_frames picks per precision.  The
         # D-major column order makes the downstream (F, n1 D) ->
         # (F, D, n1) view a free row-major bitcast (n1 stays minor),
         # deleting the 0.40 ms/call relayout copy the profiler exposed
@@ -105,6 +105,21 @@ class FusedNorthStarOperators:
             TKt[j * self.n2:(j + 1) * self.n2, nb * D:] = \
                 (pw[nb - 1 - j] @ K).T
         self.TKt = np.ascontiguousarray(TKt).astype(npdt)
+        # Two-step projection tables (projection="two_step"): kb = K x per
+        # sub-block, then the F-power block-Toeplitz combine, same D-major
+        # column order as TKt.  ~2.3x fewer MXU passes than the dense dot;
+        # its extra error source is the f32 rounding of kb amplified by
+        # F-power cancellation — acceptable only with HIGHEST dots (at
+        # HIGH it measured 99.9 dB end-to-end; at HIGHEST 136.8 dB).
+        self.KT = np.ascontiguousarray(K.T).astype(npdt)       # (n2, D)
+        TO = np.zeros((nb * D, (nb + 1) * D))
+        for p in range(1, nb):
+            for j in range(p):
+                TO[j * D:(j + 1) * D,
+                   [d * nb + p for d in range(D)]] = pw[p - 1 - j].T
+        for j in range(nb):
+            TO[j * D:(j + 1) * D, nb * D:] = pw[nb - 1 - j].T
+        self.TO = np.ascontiguousarray(TO).astype(npdt)
         # State part of the start expansion, same D-major ordering:
         # starts[f, d*n1 + p] += (F^p s_frame[f])[d].
         FpT = np.zeros((D, nb * D))
@@ -717,6 +732,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        half_spectrum: bool = False,
                        layout: str = "reg",
                        flat_out: bool = False,
+                       projection: Optional[str] = None,
                        _debug_stage: Optional[str] = None):
     """Run the fused chain.
 
@@ -743,6 +759,15 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         stores), "reg2"/"reg4" (reg plus 2-/4-frame block-diagonal
         step 1 — halves step-1 MXU passes, same output contract),
         "k1" (k1-major blocks + XLA reorder transpose),
+      projection: "dense" (ONE x_flat @ TKt matmul) or "two_step"
+        (kb = K x per sub-block, then the F-power block-Toeplitz
+        combine — ~2.3x fewer prepass MXU passes).  Default (None)
+        picks "two_step" iff the projection precision is HIGHEST:
+        measured on v5e interleaved in one process, two_step wins
+        every rep (median 10.70 vs 10.56 Gs/s e2e) at 136.8 dB vs
+        dense's 137.1; at HIGH its f32-rounded kb vectors cancel
+        against the near-unit-radius F-powers and it craters to
+        99.9 dB, so HIGH keeps the dense table.
         "fmajor" (frame-major contiguous stores, but 32-64-lane
         intermediates), or "pair" (2-frame block-diagonal step 1; 4-D
         reorder transpose).  Measured e2e chained on v5e (c=64, HIGH):
@@ -784,13 +809,22 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     # caller's precision.
     prec_s = jax.lax.Precision.HIGHEST
     f_total = c * nf
-    # ONE dense matmul from the framed input to all prepass vectors (the
-    # sub-block start input-parts, d-major, and the frame-k rows) —
-    # f64-precomputed operator products; see the TKt docstring in
-    # FusedNorthStarOperators.__init__ for why cheaper factorizations
-    # measured worse.
+    # Framed input -> all prepass vectors (the sub-block start
+    # input-parts, d-major, and the frame-k rows) — f64-precomputed
+    # operator products; dense vs two-step per the `projection` arg.
     x_flat = xsub.reshape(f_total, N)
-    big = _tdot(x_flat, ops.TKt, prec_x, dtype)    # (cf, (nb + 1) D)
+    if projection is None:
+        projection = ("two_step" if prec_x == jax.lax.Precision.HIGHEST
+                      else "dense")
+    if projection == "two_step":
+        # kb_j = K x_j per sub-block, then the F-power block-Toeplitz
+        # combine (tables KT/TO; same D-major column order as TKt).
+        kb = _tdot(x_flat.reshape(f_total * n1, n2), ops.KT, prec_x, dtype)
+        big = _tdot(kb.reshape(f_total, n1 * D), ops.TO, prec_x, dtype)
+    elif projection == "dense":
+        big = _tdot(x_flat, ops.TKt, prec_x, dtype)  # (cf, (nb + 1) D)
+    else:
+        raise ValueError(f"unknown projection {projection!r}")
     if _debug_stage == "kx":
         return ((big, big), big[-1:, -D:])
     kxs = big[:, : n1 * D]                         # starts, input part

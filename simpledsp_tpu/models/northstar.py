@@ -57,8 +57,10 @@ class NorthStarChain:
     def __init__(self, design: Optional[BiquadCascadeDesign] = None,
                  fft_size: int = 4096, block_size: int = 256,
                  dtype=jnp.float32, precision=None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 projection: Optional[str] = None):
         self.design = design or default_design()
+        self.projection = projection
         self.fft_size = int(fft_size)
         if self.fft_size % 2:
             raise ValueError("fft_size must be even (one-sided output)")
@@ -105,7 +107,8 @@ class NorthStarChain:
             # jit for free.
             return _kchain.fused_chain_frames(
                 self._fused_ops, x, s0, precision=self.precision,
-                half_spectrum=True, flat_out=True)
+                half_spectrum=True, flat_out=True,
+                projection=self.projection)
         y, s_fin = self.iir.run_blocks(
             x.reshape(x.shape[0], -1, self.iir.block_size), s0)
         y = y.reshape(x.shape[0], -1, self.fft_size)

@@ -104,6 +104,32 @@ class TestFusedChain:
         got = np.asarray(sr) + 1j * np.asarray(si)
         assert np.abs(got - ref).max() < 1e-11
 
+    def test_two_step_projection_matches_dense(self, rng):
+        """The factored prepass (kb = K x, then the F-power block-Toeplitz
+        combine) is algebraically identical to the dense x @ TKt dot — in
+        f64 they must agree to rounding (on-chip f32 behavior is
+        precision-gated, see the chain.py projection docstring)."""
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        ops = FusedNorthStarOperators(default_design(), 1024,
+                                      dtype=jnp.float64)
+        x = rng.standard_normal((3, 8192))
+        s0 = jnp.zeros((3, ops.state_dim), jnp.float64)
+        (ar, ai), s_a = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                           interpret=True,
+                                           projection="dense")
+        (br, bi), s_b = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                           interpret=True,
+                                           projection="two_step")
+        scale = float(jnp.max(jnp.abs(ar)))
+        np.testing.assert_allclose(np.asarray(br), np.asarray(ar),
+                                   atol=1e-12 * scale)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ai),
+                                   atol=1e-12 * scale)
+        np.testing.assert_allclose(np.asarray(s_b), np.asarray(s_a),
+                                   atol=1e-13)
+
     def test_streaming_state_handoff(self, rng):
         from simpledsp_tpu.kernels.chain import (
             FusedNorthStarOperators, fused_chain_frames)
