@@ -83,6 +83,31 @@ def _cmd_rx(args, mode: str) -> int:
         _, s = rx((z, z), None)
         return s
 
+    # Zero-copy device path when the fused kernels are live: upload each
+    # block at offset `front` of a padded buffer (tail is never read,
+    # np.empty suffices) and let the model patch the history IN PLACE on
+    # the donated buffer (models/sdr.py process_padded) — no device-side
+    # full-stream prefix-concat copy.
+    pad_spec = None
+    if rx.use_pallas:
+        try:
+            pad_spec = rx.padded_spec(block)
+        except ValueError:
+            pad_spec = None
+
+    def run_block(re, im, state):
+        if pad_spec is None:
+            return rx((jnp.asarray(re[None, :]), jnp.asarray(im[None, :])),
+                      state)
+        front, total = pad_spec
+        br = np.empty((1, total), np.float32)
+        bi = np.empty((1, total), np.float32)
+        br[0, front:front + block] = re
+        bi[0, front:front + block] = im
+        a, state, _planes = rx.process_padded(
+            (jnp.asarray(br), jnp.asarray(bi)), state)
+        return a, state
+
     state = _resume_state(args, zero_block)
     audio = []
     t0 = time.time()
@@ -93,8 +118,7 @@ def _cmd_rx(args, mode: str) -> int:
     # chained-stream pattern bench.py measures).
     pending: "deque" = deque()
     for re, im in _ingest_blocks(args.input, args.format, block):
-        a, state = rx((jnp.asarray(re[None, :]), jnp.asarray(im[None, :])),
-                      state)
+        a, state = run_block(re, im, state)
         pending.append(a)
         nsamp += re.size
         if len(pending) > 2:

@@ -235,3 +235,52 @@ class TestFlatKernels:
             ap, sp = plain(x[:, lo:hi], sp)
             np.testing.assert_allclose(np.asarray(af), np.asarray(ap),
                                        atol=1e-10)
+
+class TestPaddedEntry:
+    """process_padded (zero-copy donated-buffer streaming entry) vs the
+    plain __call__ path: the hist slot is PATCHED in place (garbage in the
+    buffer's front must not matter) and the tail pad is never consumed
+    (garbage there must not matter either)."""
+
+    @staticmethod
+    def _padded_bufs(bank, xr, xi, rng):
+        front, total = bank.padded_spec(xr.shape[-1])
+        t = xr.shape[-1]
+        br = rng.standard_normal((xr.shape[0], total))  # garbage everywhere
+        bi = rng.standard_normal((xr.shape[0], total))
+        br[:, front:front + t] = np.asarray(xr)
+        bi[:, front:front + t] = np.asarray(xi)
+        return jnp.asarray(br), jnp.asarray(bi)
+
+    @pytest.mark.parametrize("cls", [FMReceiverBank, AMReceiverBank])
+    def test_padded_equals_plain_streaming(self, rng, cls):
+        fused, _ = _bank_pair(cls)
+        T = 16 * 256
+        x = (rng.standard_normal((2, 2 * T))
+             + 1j * rng.standard_normal((2, 2 * T)))
+        xr = jnp.asarray(x.real)
+        xi = jnp.asarray(x.imag)
+        # reference: two plain fused calls
+        s_ref = fused.init_state(2)
+        ref = []
+        for lo in (0, T):
+            a, s_ref = fused((xr[:, lo:lo + T], xi[:, lo:lo + T]), s_ref)
+            ref.append(np.asarray(a))
+        # padded entry: same stream through donated buffers
+        s = fused.init_state(2)
+        got = []
+        for lo in (0, T):
+            bufs = self._padded_bufs(fused, xr[:, lo:lo + T],
+                                     xi[:, lo:lo + T], rng)
+            a, s, _planes = fused.process_padded(bufs, s)
+            got.append(np.asarray(a))
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(a, b, atol=1e-12)
+        # carried channelizer state matches the plain path exactly
+        np.testing.assert_allclose(np.asarray(s.chan.hist_r),
+                                   np.asarray(s_ref.chan.hist_r), atol=0)
+
+    def test_padded_spec_rejects_bad_width(self, rng):
+        fused, _ = _bank_pair(FMReceiverBank)
+        with pytest.raises(ValueError):
+            fused._padded_g(12345)
