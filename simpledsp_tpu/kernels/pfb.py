@@ -123,16 +123,22 @@ def _atan2(y, x):
     """Vectorized atan2 from VPU primitives — Mosaic has no atan2 lowering.
 
     Octant reduction (swap + tan(pi/8) fold) brings the argument to
-    |u| <= 0.4142, where a 7-term Chebyshev-fit odd polynomial is accurate
-    to ~1.2e-12 rad (beyond f32; ~240 dB below full scale) — so the fused
-    FM path's only precision loss vs jnp.arctan2 is the f32 compute dtype
-    itself.  atan2(0, 0) = 0, matching numpy.
+    |u| <= 0.4142, where a Chebyshev-fit odd polynomial approximates
+    atan: 7 terms at ~1.2e-12 rad for f64, 4 terms at ~2.9e-8 rad for
+    f32 (below the f32 compute dtype's own roundoff, and 3 fewer
+    full-register Horner FMAs on the discriminator's hot path) — so the
+    fused FM path's only precision loss vs jnp.arctan2 is the compute
+    dtype itself.  atan2(0, 0) = 0, matching numpy.
     """
     dt = y.dtype
-    coeffs = (-0.04045486369618831, 0.07136381620369958,
-              -0.09029156993030023, 0.11107506250954066,
-              -0.14285612640783202, 0.19999998908119504,
-              -0.3333333333128498)
+    if jnp.dtype(dt).itemsize >= 8:
+        coeffs = (-0.04045486369618831, 0.07136381620369958,
+                  -0.09029156993030023, 0.11107506250954066,
+                  -0.14285612640783202, 0.19999998908119504,
+                  -0.3333333333128498)
+    else:
+        coeffs = (0.08520492036833542, -0.14024142842175355,
+                  0.19991237743060408, -0.33333286563943515)
     pi = np.pi
     ax = jnp.abs(x)
     ay = jnp.abs(y)

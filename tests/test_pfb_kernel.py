@@ -284,3 +284,21 @@ class TestPaddedEntry:
         fused, _ = _bank_pair(FMReceiverBank)
         with pytest.raises(ValueError):
             fused._padded_g(12345)
+
+
+class TestAtan2Poly:
+    """The kernel's VPU atan2 (Mosaic has no lowering) — both dtype
+    variants against numpy over all octants including axes and zeros."""
+
+    @pytest.mark.parametrize("dt,tol", [(jnp.float64, 2e-12),
+                                        (jnp.float32, 1e-6)])
+    def test_matches_numpy(self, rng, dt, tol):
+        from simpledsp_tpu.kernels.pfb import _atan2
+        y = rng.standard_normal(4096).astype(np.float64)
+        x = rng.standard_normal(4096).astype(np.float64)
+        # exercise axes / zero / equal-magnitude (octant seams)
+        y[:8] = [0, 0, 1, -1, 1, -1, 0.5, -0.5]
+        x[:8] = [0, 1, 0, 0, 1, 1, 0.5, 0.5]
+        got = np.asarray(_atan2(jnp.asarray(y, dt), jnp.asarray(x, dt)))
+        ref = np.arctan2(y, x)
+        np.testing.assert_allclose(got, ref, atol=tol)
