@@ -45,20 +45,28 @@ def main():
     rng = np.random.default_rng(0)
     results = []
 
-    def timed(fn, *args, iters=12):
+    def timed(fn, *args, iters=12, loops=3):
+        # Median of `loops` chained loops: the FIRST loop after a cold
+        # compile runs 10-30x slow through the axon tunnel (one-time
+        # transfer/queue setup the single warmup call does not absorb —
+        # measured 0.35 vs 12.5 Gs/s on the chain row), and run-to-run
+        # drift is >1.5x (PERF.md methodology, same as bench.py).
         out = fn(*args)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(jnp.sum(leaf.ravel()[:8]))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(leaf.ravel()[:8]))
-        t_loop = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(jnp.sum(leaf.ravel()[:8]))
-        t_fetch = time.perf_counter() - t0
-        return max(t_loop - t_fetch, 1e-9) / iters
+        dts = []
+        for _ in range(loops):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(jnp.sum(leaf.ravel()[:8]))
+            t_loop = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(jnp.sum(leaf.ravel()[:8]))
+            t_fetch = time.perf_counter() - t0
+            dts.append(max(t_loop - t_fetch, 1e-9) / iters)
+        return sorted(dts)[len(dts) // 2]
 
     def emit(name, nsamples, dt):
         msps = nsamples / dt / 1e6
@@ -102,16 +110,19 @@ def main():
     out, s = fwd(x, s0)
     float(jnp.sum(s))
     iters = 16
-    s = s0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, s = fwd(x, s)
-    float(jnp.sum(s))
-    t_loop = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(jnp.sum(s))
-    t_fetch = time.perf_counter() - t0
-    emit("chain_iir8_fft4096", c * t, (t_loop - t_fetch) / iters)
+    dts = []
+    for _ in range(3):  # median-of-3 chained loops (see timed())
+        s = s0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, s = fwd(x, s)
+        float(jnp.sum(s))
+        t_loop = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(s))
+        t_fetch = time.perf_counter() - t0
+        dts.append(max(t_loop - t_fetch, 1e-9) / iters)
+    emit("chain_iir8_fft4096", c * t, sorted(dts)[1])
 
     worst = min(r["vs_baseline"] for r in results)
     print(json.dumps({"metric": "bench_ops_summary",

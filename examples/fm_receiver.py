@@ -43,6 +43,18 @@ peak2 = np.fft.rfftfreq(a2.size, 1/arate)[np.argmax(spec2)]
 lap(f"streamed call ch3 peak {peak2:.1f} Hz")
 assert abs(peak2 - 1000.0) < 20
 
+# zero-copy padded streaming entry (donated buffers, in-place history
+# patch) must be BIT-IDENTICAL to the plain call on the same stream:
+if rx.use_pallas:
+    front, total = rx.padded_spec(T)
+    br = np.empty((1, total), np.float32); br[0, front:front+T] = x.real
+    bi = np.empty((1, total), np.float32); bi[0, front:front+T] = x.imag
+    audio3, _, _ = rx.process_padded((jnp.asarray(br), jnp.asarray(bi)),
+                                     state)
+    dev = float(np.abs(to_numpy(audio3) - to_numpy(audio2)).max())
+    lap(f"padded entry max dev vs plain: {dev:.1e}")
+    assert dev == 0.0, dev
+
 chain = NorthStarChain()
 xx = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8192)), dtype=jnp.float32)
 (sr, si), st = chain(xx)

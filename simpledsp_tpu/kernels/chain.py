@@ -733,7 +733,8 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        layout: str = "reg",
                        flat_out: bool = False,
                        projection: Optional[str] = None,
-                       _debug_stage: Optional[str] = None):
+                       _debug_stage: Optional[str] = None,
+                       _proj_prec=None):
     """Run the fused chain.
 
     Args:
@@ -819,8 +820,15 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     if projection == "two_step":
         # kb_j = K x_j per sub-block, then the F-power block-Toeplitz
         # combine (tables KT/TO; same D-major column order as TKt).
-        kb = _tdot(x_flat.reshape(f_total * n1, n2), ops.KT, prec_x, dtype)
-        big = _tdot(kb.reshape(f_total, n1 * D), ops.TO, prec_x, dtype)
+        # _proj_prec: measurement hook — (kb_prec, combine_prec) override
+        # (tools/probe_proj_prec).  Shootout verdict: any HIGH stage
+        # craters SNR (kb HIGH -> 101 dB even with HIGHEST combine; comb
+        # HIGH -> 106 dB) while throughput is identical within tunnel
+        # noise (~10.8-11.0 Gs/s all four combos — the prepass is
+        # pipeline-hidden), so both stages stay at the caller's HIGHEST.
+        pk, pc = _proj_prec or (prec_x, prec_x)
+        kb = _tdot(x_flat.reshape(f_total * n1, n2), ops.KT, pk, dtype)
+        big = _tdot(kb.reshape(f_total, n1 * D), ops.TO, pc, dtype)
     elif projection == "dense":
         big = _tdot(x_flat, ops.TKt, prec_x, dtype)  # (cf, (nb + 1) D)
     else:

@@ -159,6 +159,16 @@ def _atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
+def _vma(x):
+    """Varying-mesh-axes of a traced value (None outside shard_map) —
+    required on pallas out_shapes when called under shard_map (same
+    contract as kernels/chain.py)."""
+    try:
+        return jax.typeof(x).vma or None
+    except Exception:
+        return None
+
+
 def _fir_packed(vr, vi, taps_ref, gt: int, k: int):
     """Branch FIRs on loaded (PM, gt + halo) registers -> (ur, ui) (PM, gt).
 
@@ -788,7 +798,16 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
     # broadcast over the f8 leading batch (Mosaic batch-dim contract).
     wstb = np.ascontiguousarray(
         np.broadcast_to(wst[None], (f8,) + wst.shape))
-    consts = tuple(jnp.asarray(a, dtype=dtype) for a in (taps_p, wstb))
+    # Under shard_map (dp-sharded banks) every kernel operand and output
+    # must carry matching varying mesh axes; the (identical-everywhere)
+    # tables are pcast accordingly (same contract as kernels/chain.py).
+    vma = _vma(xpr)
+
+    def _cast(a):
+        a = jnp.asarray(a, dtype=dtype)
+        return jax.lax.pcast(a, tuple(vma), to="varying") if vma else a
+
+    consts = tuple(_cast(a) for a in (taps_p, wstb))
     const_specs = [pl.BlockSpec(a.shape,
                                 lambda s, nd=a.ndim: (0,) * nd,
                                 memory_space=pltpu.VMEM) for a in consts]
@@ -828,7 +847,7 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
         # Leading-batch layout (f8, rows, T') for the in-kernel batched dot.
         dmat3 = np.ascontiguousarray(np.moveaxis(
             dmat.reshape(crows + rt, f8, gt // decim), 1, 0))
-        consts = consts + (jnp.asarray(dmat3, dtype=dtype),)
+        consts = consts + (_cast(dmat3),)
         const_specs = const_specs + [
             pl.BlockSpec(dmat3.shape, lambda s: (0, 0, 0),
                          memory_space=pltpu.VMEM)]
@@ -856,8 +875,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
                 out_specs=(out_blk, prev_blk, prev_blk),
                 out_shape=(jax.ShapeDtypeStruct((bp, f8, pm, grows),
                                                 dtype),
-                           jax.ShapeDtypeStruct((bp, pm, 1), dtype),
-                           jax.ShapeDtypeStruct((bp, pm, 1), dtype)),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma),
+                           jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma)),
                 scratch_shapes=scratch + fm_scr + sems,
                 cost_estimate=cost, interpret=interpret,
             )(x4r, x4i, pr3, pi3, *consts)
@@ -869,10 +888,10 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             in_specs=[any_spec, any_spec, prev_blk, prev_blk, ah_blk]
             + const_specs,
             out_specs=(audio_blk, prev_blk, prev_blk, ah_blk),
-            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
-                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
-                       jax.ShapeDtypeStruct((bp, pm, 1), dtype),
-                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype, vma=vma)),
             scratch_shapes=scratch + fm_scr + acr_scr + sems,
             cost_estimate=cost, interpret=interpret,
         )(x4r, x4i, pr3, pi3, ah_in, *consts)
@@ -886,7 +905,7 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             body, grid=(total,),
             in_specs=[any_spec, any_spec] + const_specs,
             out_specs=out_blk,
-            out_shape=jax.ShapeDtypeStruct((bp, f8, pm, grows), dtype),
+            out_shape=jax.ShapeDtypeStruct((bp, f8, pm, grows), dtype, vma=vma),
             scratch_shapes=scratch + sems,
             cost_estimate=cost, interpret=interpret,
         )(x4r, x4i, *consts)
@@ -897,9 +916,9 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             body, grid=(total,),
             in_specs=[any_spec, any_spec, ah_blk] + const_specs,
             out_specs=(audio_blk, ah_blk, sum_blk),
-            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
-                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype),
-                       jax.ShapeDtypeStruct((bp, pm, 1), dtype)),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma)),
             scratch_shapes=scratch + acr_scr
             + [pltpu.VMEM((pm, 1), dtype)] + sems,
             cost_estimate=cost, interpret=interpret,
@@ -909,8 +928,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             body, grid=(total,),
             in_specs=[any_spec, any_spec, ah_blk] + const_specs,
             out_specs=(audio_blk, ah_blk),
-            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype),
-                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype)),
+            out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype, vma=vma),
+                       jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype, vma=vma)),
             scratch_shapes=scratch + acr_scr + sems,
             cost_estimate=cost, interpret=interpret,
         )(x4r, x4i, ah_in, *consts)

@@ -9,6 +9,7 @@ from simpledsp_tpu.parallel.mesh import (
     single_device_mesh,
 )
 from simpledsp_tpu.parallel.iir import ShardedBlockIIR
+from simpledsp_tpu.parallel.sdr import ShardedReceiverBank
 from simpledsp_tpu.parallel.fir import (
     ShardedChannelizer,
     ShardedFIR,

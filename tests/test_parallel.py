@@ -189,3 +189,59 @@ class TestChannelizerGather:
                                    atol=1e-12)
         # gathered result is replicated over sp (one shard per device)
         assert len(y_gath.sharding.device_set) == 8
+
+
+class TestShardedReceiverBank:
+    """dp-sharded SDR banks == the serial banks stream for stream, on both
+    the XLA and the fused (interpret) kernel paths, streaming across
+    calls."""
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_fm_bank_sharded_equals_serial(self, mesh24, rng, use_pallas):
+        from simpledsp_tpu.models.sdr import FMReceiverBank
+        from simpledsp_tpu.parallel import ShardedReceiverBank
+
+        bank = FMReceiverBank(16, fs=1.6e6, dtype=jnp.float64,
+                              use_pallas=use_pallas)
+        bank._interpret = use_pallas
+        sharded = ShardedReceiverBank(bank, mesh24)
+        x = (rng.standard_normal((4, 16 * 256))
+             + 1j * rng.standard_normal((4, 16 * 256)))
+        ss = sharded.init_state(4)
+        sp = bank.init_state(4)
+        for _ in range(2):
+            a_s, ss = sharded(x, ss)
+            a_p, sp = bank(x, sp)
+            np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_p),
+                                       atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ss.chan.hist_r),
+                                   np.asarray(sp.chan.hist_r), atol=0)
+        np.testing.assert_allclose(np.asarray(ss.demod.prev_r),
+                                   np.asarray(sp.demod.prev_r), atol=1e-12)
+
+    def test_am_bank_dc_sharded_equals_serial(self, mesh24, rng):
+        from simpledsp_tpu.models.sdr import AMReceiverBank
+        from simpledsp_tpu.parallel import ShardedReceiverBank
+
+        bank = AMReceiverBank(16, fs=1.6e6, dtype=jnp.float64,
+                              use_pallas=True)
+        bank._interpret = True
+        sharded = ShardedReceiverBank(bank, mesh24)
+        x = (rng.standard_normal((4, 16 * 256))
+             + 1j * rng.standard_normal((4, 16 * 256)))
+        a_s, ss = sharded(x)
+        a_p, sp = bank(x)
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_p),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ss.dc), np.asarray(sp.dc),
+                                   atol=1e-12)
+
+    def test_batch_not_divisible_raises(self, mesh24):
+        from simpledsp_tpu.models.sdr import FMReceiverBank
+        from simpledsp_tpu.parallel import ShardedReceiverBank
+
+        bank = FMReceiverBank(16, fs=1.6e6, dtype=jnp.float64,
+                              use_pallas=False)
+        sharded = ShardedReceiverBank(bank, mesh24)
+        with pytest.raises(ValueError):
+            sharded(jnp.zeros((3, 16 * 64), jnp.float64))

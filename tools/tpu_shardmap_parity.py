@@ -57,11 +57,27 @@ def main() -> int:
 
     scale = float(np.abs(to_numpy(br)).max())
     ok = max(dr, di, d_stream) < 1e-4 * scale and ds < 1e-4
+
+    # dp-sharded FM bank: COMPILED fused kernel under shard_map with
+    # check_vma=True (the kernels/pfb.py vma annotations) — must be
+    # bit-identical to the serial fused bank.
+    from simpledsp_tpu.models.sdr import FMReceiverBank
+    from simpledsp_tpu.parallel.sdr import ShardedReceiverBank
+
+    bank = FMReceiverBank(16, fs=1.6e6, dtype=jnp.float32, use_pallas=True)
+    sbank = ShardedReceiverBank(bank, mesh)
+    zb = rng.standard_normal((2, 2, 16 * 2048)).astype(np.float32)
+    a_ser, st_ser = bank((jnp.asarray(zb[0]), jnp.asarray(zb[1])))
+    a_sh, st_sh = sbank((jnp.asarray(zb[0]), jnp.asarray(zb[1])))
+    d_bank = float(np.abs(to_numpy(a_ser) - to_numpy(a_sh)).max())
+    ok = ok and d_bank == 0.0
+
     print(json.dumps({
         "compiled_shardmap_parity": bool(ok),
         "interpret": False, "check_vma": True,
         "max_re_dev": dr, "max_im_dev": di, "state_dev": ds,
         "stream_dev": d_stream, "spectra_scale": scale,
+        "bank_dev": d_bank,
         "device": str(dev),
     }))
     return 0 if ok else 1
