@@ -725,7 +725,7 @@ def _make_fused_kernel(precision, n1: int):
 
 
 def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
-                       s0: jnp.ndarray, *, frames_per_tile: int = 32,
+                       s0: jnp.ndarray, *, frames_per_tile: int = 64,
                        precision=None, interpret: bool = False,
                        axis_name: Optional[str] = None,
                        shard_powers: Optional[np.ndarray] = None,
@@ -910,7 +910,13 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     per_frame = 6 if half_spectrum else 9
     max_r = max(1, (13 << 20) // (per_frame * N * np.dtype(dtype).itemsize))
     max_r = 1 << (max_r.bit_length() - 1)  # power of two for divisibility
-    max_r = min(max_r, 128)
+    # Cap 64: the kernel body keeps ~6 live (n1, r, n2) tensors (cs, tr,
+    # ti, out, t5) whose register spill scales with r — r = 128 fails
+    # Mosaic with a 22 MB scoped-vmem stack (measured).  Sweep on v5e
+    # (tools/probe_tile_r, N=4096, interleaved medians): r=8 6.7, r=16
+    # 9.1, r=32 10.8, r=64 11.6 Gs/s e2e — fewer grid steps win
+    # monotonically up to the spill wall, hence the 64 default.
+    max_r = min(max_r, 64)
     r = min(frames_per_tile, max_r)
     while f_total % r != 0:
         r //= 2
