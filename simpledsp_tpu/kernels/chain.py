@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from simpledsp_tpu.design.biquad import BiquadCascadeDesign
 from simpledsp_tpu.kernels.fft import _best_split, _consts
+from simpledsp_tpu.ops.fft import _dft_mats_f64
 from simpledsp_tpu.ops.iir import block_operators_f64
 
 __all__ = ["FusedNorthStarOperators", "fused_chain_frames"]
@@ -405,6 +406,99 @@ def _make_packed_reg_kernel(precision, n2h: int, n1: int):
     return body
 
 
+def _bf16_split3(a: np.ndarray) -> np.ndarray:
+    """Exact 3-way bf16 decomposition of an f64 table, stacked on axis 0.
+
+    a ~= h + m + l with each part bf16 (8 mantissa bits), so h/m/l jointly
+    carry ~24 bits — f32-grade — and every MXU product against another
+    bf16 operand is exact (16-bit significand fits the f32 accumulator).
+    """
+    bf = jnp.bfloat16
+    h = a.astype(bf)
+    r1 = a - h.astype(np.float64)
+    m = r1.astype(bf)
+    low = (r1 - m.astype(np.float64)).astype(bf)
+    return np.concatenate([np.tile(np.ascontiguousarray(p), (1, 3))
+                           for p in (h, m, low)], axis=0)
+
+
+def _make_packed_regs_kernel(precision, n2h: int, n1: int):
+    """Split-K step-1 variant of :func:`_make_packed_reg_kernel`.
+
+    The stacked step-1 dot is the kernel's pass sink at HIGHEST: its
+    (M = 2 n1 = 64, K = n1 = 32) operand fills 1/8 of each 128x128 MXU
+    tile, and HIGHEST's 6-pass f32 emulation multiplies that waste — at
+    r = 64 frames/tile it burns 384 of the kernel's ~768 bf16 passes for
+    8 passes of useful work.  This kernel reaches the SAME precision with
+    128 single passes by doing the f32 emulation EXPLICITLY in the K/M
+    geometry instead of in time:
+
+      * y is decomposed in-register into three bf16 planes
+        y = y_h + y_m + y_l (exact: 24 mantissa bits = 3 x 8) and stacked
+        on the K (sub-block) axis -> (r, 3 n1, n2) bf16;
+      * the step-1 table enters as the host-side f64 -> 3 x bf16 split
+        [Wh|Wh|Wh; Wm|Wm|Wm; Wl|Wl|Wl] (6 n1, 3 n1): row block b computes
+        y_h W_b + y_m W_b + y_l W_b = y W_b with every product EXACT
+        (bf16 x bf16 accumulated in f32);
+      * cs = sum of the three (2 n1, r, n2) sublane blocks — all NINE
+        split products are present, one more than HIGHEST keeps.
+
+    Pass count: M = 6 n1 = 192 -> 2 M-tiles, K = 3 n1 = 96 -> 1 K-tile,
+    N = r n2 -> 64 tiles = 128 single bf16 passes vs HIGHEST's 6 x 64.
+    Everything downstream (twiddle, packed step 3, Nyquist, in-register
+    reorder) is identical to the reg kernel; the output contract matches
+    bit-for-bit semantics at f32-grade accuracy (~137 dB end-to-end).
+    f32 only (the decomposition targets a 24-bit significand).
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1s3_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, or_ref, oi_ref):
+        dtype = x_ref.dtype
+        dot_lane = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
+
+        # In-register exact 3-way bf16 split, stacked on the K axis.
+        yh = y.astype(jnp.bfloat16)
+        r1 = y - yh.astype(dtype)
+        ym = r1.astype(jnp.bfloat16)
+        yl = (r1 - ym.astype(dtype)).astype(jnp.bfloat16)
+        y3 = jnp.concatenate([yh, ym, yl], axis=1)      # (r, 3 n1, n2)
+
+        cs3 = jax.lax.dot_general(
+            w1s3_ref[:], y3,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.DEFAULT)        # (6 n1, r, n2)
+        m2 = 2 * n1
+        cs = cs3[:m2] + cs3[m2:2 * m2] + cs3[2 * m2:]
+
+        c_r = cs[:n1]
+        s_r = cs[n1:]
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+
+        nyq = jnp.sum(tr[0] * alt_ref[:], axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], 1)
+        row0 = jnp.where(lane == n2h, nyq, out[0])
+        out = jax.lax.concatenate([row0[None], out[1:]], 0)
+
+        t5 = jnp.transpose(out, (1, 2, 0))
+        or_ref[:] = t5[:, :n2h]
+        oi_ref[:] = t5[:, n2h:]
+
+    return body
+
+
 def _make_packed_regw_kernel(precision, n2h: int, n1: int, qf: int):
     """Wide-store variant of :func:`_make_packed_reg_kernel`.
 
@@ -755,7 +849,10 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         see ops.fft.unpack_rfft_ri).
       layout: half-spectrum kernel variant — "reg" (k1-major
         compute + in-register bin reorder, natural-order planes out, zero
-        XLA relayout), "regw" (reg with qf bins packed per 128-lane
+        XLA relayout), "regs" (reg with the split-K exact-bf16 step-1
+        dot: same output contract and f32-grade accuracy, 128 single MXU
+        passes where HIGHEST's step 1 pays 384 — f32 dtype only, see
+        _make_packed_regs_kernel), "regw" (reg with qf bins packed per 128-lane
         output row: same bytes/order as (C F, h/qf, qf n1) planes, wide
         stores), "reg2"/"reg4" (reg plus 2-/4-frame block-diagonal
         step 1 — halves step-1 MXU passes, same output contract),
@@ -955,21 +1052,32 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         p_tab = np.ascontiguousarray(np.concatenate([w2c[:h], w2s[:h]], 0))
         q_tab = np.ascontiguousarray(np.concatenate([-w2s[:h], w2c[:h]], 0))
         alt = ((-1.0) ** np.arange(n2)).reshape(1, n2).astype(p_tab.dtype)
-        if layout not in ("reg", "regw", "reg2", "reg4", "k1", "fmajor",
-                          "pair"):
+        if layout not in ("reg", "regs", "regw", "reg2", "reg4", "k1",
+                          "fmajor", "pair"):
             raise ValueError(f"unknown layout {layout!r}")
         pair = layout == "pair" and r % 2 == 0
         fmajor = layout == "fmajor"
         if layout.startswith("reg"):
             # In-register reorder kernel: natural-order re/im planes out,
             # zero XLA-side relayout (_make_packed_reg_kernel docstring).
-            # regw packs qf bins per 128-lane output row (wide stores,
-            # _make_packed_regw_kernel); reg2/reg4 group frames
+            # regs replaces step 1 with the split-K exact-bf16 dot
+            # (_make_packed_regs_kernel — 128 single passes vs HIGHEST's
+            # 384); regw packs qf bins per 128-lane output row (wide
+            # stores, _make_packed_regw_kernel); reg2/reg4 group frames
             # block-diagonally in step 1 (_make_packed_regg_kernel).
+            splitk = layout == "regs"
             qf = _regw_qf(n1, h) if layout == "regw" else 1
-            g = int(layout[3:] or "1") if layout != "regw" else 1
+            g = int(layout[3:]) if layout in ("reg2", "reg4") else 1
             while g > 1 and r % g:
                 g //= 2
+            if splitk:
+                if np.dtype(dtype) != np.float32:
+                    raise ValueError("layout 'regs' requires float32 "
+                                     "(the split targets a 24-bit "
+                                     "significand)")
+                w1c64, w1s64 = _dft_mats_f64(n1)
+                w1s3 = _bf16_split3(np.concatenate([w1c64, w1s64], axis=0))
+                tables = tables[:2] + (w1s3,) + tables[3:]
             if g > 1:
                 w1cs_t = tables[2]
                 w1g = np.zeros((g * 2 * n1, g * n1), dtype=p_tab.dtype)
@@ -1009,6 +1117,8 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                 reg_kernel = _make_packed_regw_kernel(precision, h, n1, qf)
             elif g > 1:
                 reg_kernel = _make_packed_regg_kernel(precision, h, n1, g)
+            elif splitk:
+                reg_kernel = _make_packed_regs_kernel(precision, h, n1)
             else:
                 reg_kernel = _make_packed_reg_kernel(precision, h, n1)
             zr, zi = pl.pallas_call(
