@@ -23,9 +23,9 @@ def main():
 
     # ---- chain ----
     c, t = 64, 1 << 20
+    # precision=None -> the production HIGHEST config bench.py runs.
     chain = NorthStarChain(fft_size=4096, block_size=256,
-                           dtype=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
+                           dtype=jnp.float32, precision=None)
     x = chain.frame_input(rng.standard_normal((c, t)).astype(np.float32))
     s0 = jnp.zeros((c, 2 * (chain.design.nsections + 1)), jnp.float32)
     fwd = chain._jit   # the pinned-output-layout production jit
