@@ -83,4 +83,11 @@ def test_two_process_distributed(tmp_path):
         checks = [ln for o in outs for ln in o.splitlines()
                   if ln.startswith(tag)]
         assert len(checks) == 2, (tag, outs)
-        assert checks[0].split()[-1] == checks[1].split()[-1], checks
+        # Toleranced, not string-exact: the checksum is a float reduction
+        # whose summation order can jitter in the last printed digit when
+        # the host is loaded (observed once in a full-suite run); a broken
+        # collective/halo produces relative errors orders of magnitude
+        # larger than 1e-6.
+        a, b = (float(c.split()[-1]) for c in checks)
+        scale = max(abs(a), abs(b), 1e-30)
+        assert abs(a - b) / scale < 1e-6, checks
