@@ -113,6 +113,19 @@ class FusedNorthStarOperators:
         # F-power cancellation — acceptable only with HIGHEST dots (at
         # HIGH it measured 99.9 dB end-to-end; at HIGHEST 136.8 dB).
         self.KT = np.ascontiguousarray(K.T).astype(npdt)       # (n2, D)
+        # Grouped kb table: g sub-blocks per matmul row via a
+        # block-diagonal kron(I_g, K^T).  The (F n1, D) kb intermediate
+        # has a D(=10)-lane minor dim, so its T(8,128) padding is ~13x —
+        # the profiler showed the padded write + the lane-merging
+        # reshape re-read cost ~0.7 ms/call (fusion.1 + reshape.18) on a
+        # logically 21 MB array.  Grouping keeps the MXU pass count
+        # IDENTICAL (N pads to 128 lanes either way: M/8 passes at g=1
+        # vs (M/8g)*g at g>1) and the zero blocks contribute exact zeros
+        # (bit-identical kb), but shrinks the padded intermediate by g.
+        g = next((gg for gg in (8, 4, 2) if nb % gg == 0), 1)
+        self.kb_group = g
+        self.KTg = np.ascontiguousarray(
+            np.kron(np.eye(g), K.T)).astype(npdt)      # (g n2, g D)
         TO = np.zeros((nb * D, (nb + 1) * D))
         for p in range(1, nb):
             for j in range(p):
@@ -924,7 +937,9 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         # noise (~10.8-11.0 Gs/s all four combos — the prepass is
         # pipeline-hidden), so both stages stay at the caller's HIGHEST.
         pk, pc = _proj_prec or (prec_x, prec_x)
-        kb = _tdot(x_flat.reshape(f_total * n1, n2), ops.KT, pk, dtype)
+        g = getattr(ops, "kb_group", 1)
+        kb = _tdot(x_flat.reshape(f_total * (n1 // g), g * n2),
+                   ops.KTg if g > 1 else ops.KT, pk, dtype)
         big = _tdot(kb.reshape(f_total, n1 * D), ops.TO, pc, dtype)
     elif projection == "dense":
         big = _tdot(x_flat, ops.TKt, prec_x, dtype)  # (cf, (nb + 1) D)
