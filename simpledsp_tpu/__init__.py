@@ -58,7 +58,20 @@ from simpledsp_tpu.ops.fir import (
     fir_filter,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
+from simpledsp_tpu.ops.conv import convolve, correlate
 from simpledsp_tpu.ops.spectral import spectrogram_ri, welch_psd
+from simpledsp_tpu.ops.transforms import (
+    analytic_ri,
+    czt,
+    czt_ri,
+    dct,
+    goertzel,
+    goertzel_ri,
+    hilbert,
+    idct,
+    zoom_fft,
+    zoom_fft_ri,
+)
 from simpledsp_tpu.ops.demod import (
     am_demod,
     am_demod_ri,

@@ -1,0 +1,131 @@
+"""1-D convolution and cross-correlation (numpy/scipy semantics), batched.
+
+The reference library has no standalone convolution API — streaming FIR is
+the closest capability (this framework's ops/fir.py) — but every DSP user
+reaches for ``convolve``/``correlate``, so they are provided with full
+numpy/scipy mode semantics (``full`` / ``same`` / ``valid``) over batched
+leading axes, real or complex inputs.
+
+Methods:
+  * ``direct`` — one ``lax.conv_general_dilated`` call (XLA lowers it onto
+    the MXU as an implicit-GEMM; the right choice for short kernels).
+  * ``fft`` — zero-padded power-of-2 FFT product via ops/fft.py's four-step
+    matmul engine (the right choice for long kernels).
+  * ``auto`` — picks by kernel length.
+
+Complex inputs are carried as (re, im) float planes (no complex dtype ever
+reaches a TPU kernel; see ops/fft.py) and recombined at the boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpledsp_tpu.ops.fft import _as_ri, _pick_real_dtype, fft_ri, ifft_ri
+
+__all__ = ["convolve", "correlate"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _conv_real_full(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Full linear convolution of real planes: (..., n) * (m,) ->
+    (..., n + m - 1), via one grouped XLA convolution."""
+    n = x.shape[-1]
+    m = h.shape[-1]
+    batch = x.shape[:-1]
+    xb = x.reshape((-1, 1, n))                       # (B, C=1, W)
+    # XLA convs are correlations; flip the taps for convolution.
+    hb = h[::-1].reshape((1, 1, m)).astype(x.dtype)  # (O, I, W)
+    y = jax.lax.conv_general_dilated(
+        xb, hb, window_strides=(1,), padding=[(m - 1, m - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(batch + (n + m - 1,))
+
+
+def _conv_fft_full(xr, xi, hr, hi, complex_out: bool
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full linear convolution via zero-padded power-of-2 FFT."""
+    n = xr.shape[-1]
+    m = hr.shape[-1]
+    L = _next_pow2(n + m - 1)
+    pad_x = [(0, 0)] * (xr.ndim - 1) + [(0, L - n)]
+    pad_h = [(0, L - m)]
+    fxr, fxi = fft_ri(jnp.pad(xr, pad_x), jnp.pad(xi, pad_x))
+    fhr, fhi = fft_ri(jnp.pad(hr, pad_h), jnp.pad(hi, pad_h))
+    yr = fxr * fhr - fxi * fhi
+    yi = fxr * fhi + fxi * fhr
+    zr, zi = ifft_ri(yr, yi)
+    return zr[..., : n + m - 1], zi[..., : n + m - 1]
+
+
+def _apply_mode(y: jnp.ndarray, n: int, m: int, mode: str) -> jnp.ndarray:
+    if mode == "full":
+        return y
+    if mode == "same":
+        start = (m - 1) // 2
+        return y[..., start: start + n]
+    if mode == "valid":
+        lo, hi = sorted((n, m))
+        start = lo - 1
+        return y[..., start: start + hi - lo + 1]
+    raise ValueError(f"unknown mode {mode!r} (use 'full', 'same', 'valid')")
+
+
+def convolve(x: jnp.ndarray, h, mode: str = "full", *,
+             method: str = "auto", dtype=None) -> jnp.ndarray:
+    """Linear convolution over the last axis (numpy.convolve semantics for
+    1-D inputs; x may carry leading batch axes, h is 1-D).
+
+    Complex inputs are supported; the output is complex iff either input
+    is.  ``method``: 'direct' | 'fft' | 'auto'.
+    """
+    if method not in ("auto", "direct", "fft"):
+        raise ValueError(f"unknown method {method!r}")
+    h = jnp.asarray(h)
+    if h.ndim != 1:
+        raise ValueError(f"h must be 1-D, got shape {h.shape}")
+    n = x.shape[-1]
+    m = h.shape[-1]
+    if n == 0 or m == 0:
+        raise ValueError("convolve requires non-empty inputs")
+    complex_out = jnp.iscomplexobj(x) or jnp.iscomplexobj(h)
+    rdt = _pick_real_dtype(x, dtype)
+    xr, xi = _as_ri(x, rdt)
+    hr, hi = _as_ri(h, rdt)
+    use_fft = method == "fft" or (method == "auto" and min(n, m) > 96)
+    if use_fft:
+        yr, yi = _conv_fft_full(xr, xi, hr, hi, complex_out)
+    elif complex_out:
+        yr = _conv_real_full(xr, hr) - _conv_real_full(xi, hi)
+        yi = _conv_real_full(xr, hi) + _conv_real_full(xi, hr)
+    else:
+        yr = _conv_real_full(xr, hr)
+        yi = None
+    yr = _apply_mode(yr, n, m, mode)
+    if not complex_out:
+        return yr
+    yi = _apply_mode(yi if yi is not None else jnp.zeros_like(yr), n, m,
+                     mode)
+    return jax.lax.complex(yr, yi)
+
+
+def correlate(x: jnp.ndarray, h, mode: str = "full", *,
+              method: str = "auto", dtype=None) -> jnp.ndarray:
+    """Cross-correlation over the last axis (scipy.signal.correlate
+    semantics: ``z[k] = sum_j x[j + k - (m - 1)] conj(h[j])``), i.e.
+    ``convolve(x, conj(h[::-1]))``."""
+    h = jnp.asarray(h)
+    if jnp.iscomplexobj(h):
+        h = jnp.conj(h)[::-1]
+    else:
+        h = h[::-1]
+    return convolve(x, h, mode, method=method, dtype=dtype)

@@ -131,7 +131,18 @@ def _fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool):
         wi = jnp.asarray(wi64, dtype=dtype)
         return _cmatmul(wr, wi, xr, xi, axis=-1)
 
-    n1, n2 = _split(n)
+    try:
+        n1, n2 = _split(n)
+    except ValueError:
+        # Sizes with prime factors > _MAX_DFT (e.g. prime N): Bluestein's
+        # chirp-z factorization over a power-of-2 convolution length —
+        # arbitrary-N support the reference's static_asserts exclude
+        # (fft.h:261, 304).  Unscaled either direction, matching this
+        # function's contract (callers apply the 1/N inverse scale).
+        from simpledsp_tpu.ops.transforms import czt_ri
+        sgn = 1.0 if inverse else -1.0
+        return czt_ri(xr, xi, n, w=np.exp(sgn * 2j * np.pi / n),
+                      _exact_denom=n)
     xr = xr.reshape(xr.shape[:-1] + (n1, n2))
     xi = xi.reshape(xi.shape[:-1] + (n1, n2))
 

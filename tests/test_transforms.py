@@ -1,0 +1,218 @@
+"""Extended-transform tests: arbitrary-N FFT (Bluestein), chirp-z / zoom
+FFT, DCT-II/III, Hilbert / analytic signal, Goertzel, convolve / correlate.
+
+These widen the reference's power-of-2/4-only FFT family (reference:
+include/sdsp/fft.h:261, 304 static_asserts); correctness is gated against
+numpy / scipy.fft / scipy.signal the same way the golden-fixture tests gate
+the IIR designs (SURVEY.md §4 category 3).
+"""
+
+import numpy as np
+import pytest
+import scipy.fft as sfft
+import scipy.signal as ss
+
+import jax.numpy as jnp
+
+from simpledsp_tpu.ops.conv import convolve, correlate
+from simpledsp_tpu.ops.fft import fft, ifft
+from simpledsp_tpu.ops.transforms import (
+    analytic_ri, czt, dct, goertzel, goertzel_ri, hilbert, idct, zoom_fft)
+
+EPS = np.finfo(np.float64).eps
+
+
+def tol(n):
+    return 4.0 * n * EPS
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-N FFT via the Bluestein fallback
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [17, 127, 131, 251, 262, 999, 1000, 4099])
+def test_fft_arbitrary_n(rng, n):
+    """Sizes with prime factors > 128 route through the chirp-z transform
+    and still match numpy to the reference's 4*N*eps bound."""
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    xc = jnp.asarray(x, dtype=jnp.complex128)
+    assert np.max(np.abs(np.asarray(fft(xc)) - np.fft.fft(x))) < tol(n)
+    assert np.max(np.abs(np.asarray(ifft(xc)) - np.fft.ifft(x))) < tol(n)
+
+
+def test_fft_arbitrary_n_round_trip(rng):
+    n = 331  # prime
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    xc = jnp.asarray(x, dtype=jnp.complex128)
+    back = np.asarray(ifft(fft(xc)))
+    assert np.max(np.abs(back - x)) < tol(n)
+
+
+# ---------------------------------------------------------------------------
+# Chirp-z / zoom FFT
+# ---------------------------------------------------------------------------
+
+def test_czt_matches_scipy(rng):
+    """Generic logarithmic-spiral CZT vs scipy.signal.czt."""
+    n, m = 100, 61
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    w = np.exp(-2j * np.pi / 77) * 1.001
+    a = 1.02 * np.exp(0.4j)
+    got = np.asarray(czt(jnp.asarray(x), m, w=w, a=a))
+    ref = ss.czt(x, m, w, a)
+    assert np.max(np.abs(got - ref)) < 1e-9 * np.max(np.abs(ref))
+
+
+def test_czt_default_is_dft(rng):
+    """czt with defaults (m = n, w on the unit circle) equals the DFT."""
+    n = 50
+    x = rng.standard_normal(n)
+    got = np.asarray(czt(jnp.asarray(x)))
+    assert np.max(np.abs(got - np.fft.fft(x))) < tol(n)
+
+
+@pytest.mark.parametrize("fn", [[0.1, 0.4], 0.75])
+@pytest.mark.parametrize("endpoint", [False, True])
+def test_zoom_fft_matches_scipy(rng, fn, endpoint):
+    x = rng.standard_normal(256)
+    m = 99
+    got = np.asarray(zoom_fft(jnp.asarray(x), fn, m, fs=2.0,
+                              endpoint=endpoint))
+    ref = ss.zoom_fft(x, fn, m, fs=2.0, endpoint=endpoint)
+    assert np.max(np.abs(got - ref)) < 1e-10 * np.max(np.abs(ref))
+
+
+def test_zoom_fft_batched(rng):
+    x = rng.standard_normal((4, 128))
+    got = np.asarray(zoom_fft(jnp.asarray(x), [0.2, 0.3], 33))
+    for i in range(4):
+        ref = ss.zoom_fft(x[i], [0.2, 0.3], 33)
+        assert np.max(np.abs(got[i] - ref)) < 1e-10 * np.max(np.abs(ref))
+
+
+# ---------------------------------------------------------------------------
+# DCT
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [7, 8, 15, 64, 128])
+@pytest.mark.parametrize("dct_type", [2, 3])
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_dct_matches_scipy(rng, n, dct_type, norm):
+    x = rng.standard_normal((3, n))
+    got = np.asarray(dct(jnp.asarray(x), type=dct_type, norm=norm))
+    ref = sfft.dct(x, type=dct_type, norm=norm)
+    assert np.max(np.abs(got - ref)) < tol(n) * max(1.0, np.abs(ref).max())
+    got_i = np.asarray(idct(jnp.asarray(x), type=dct_type, norm=norm))
+    ref_i = sfft.idct(x, type=dct_type, norm=norm)
+    assert np.max(np.abs(got_i - ref_i)) < tol(n) * max(1.0,
+                                                        np.abs(ref_i).max())
+
+
+def test_dct_ortho_round_trip(rng):
+    x = rng.standard_normal(63)
+    back = np.asarray(idct(dct(jnp.asarray(x), norm="ortho"), norm="ortho"))
+    assert np.max(np.abs(back - x)) < tol(63)
+
+
+def test_dct_rejects_bad_args(rng):
+    x = jnp.asarray(rng.standard_normal(8))
+    with pytest.raises(ValueError):
+        dct(x, type=1)
+    with pytest.raises(ValueError):
+        dct(x, norm="backward")
+    with pytest.raises(ValueError):
+        dct(jnp.asarray(np.ones(4, dtype=np.complex128)))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert / analytic signal
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [256, 257])
+def test_hilbert_matches_scipy(rng, n):
+    x = rng.standard_normal((2, n))
+    got = np.asarray(hilbert(jnp.asarray(x)))
+    ref = ss.hilbert(x)
+    assert np.max(np.abs(got - ref)) < tol(n)
+
+
+def test_analytic_envelope_of_tone(rng):
+    """|analytic(cos)| == 1: the textbook envelope property."""
+    t = np.arange(1024)
+    x = np.cos(2 * np.pi * 37 * t / 1024)
+    yr, yi = analytic_ri(jnp.asarray(x))
+    env = np.hypot(np.asarray(yr), np.asarray(yi))
+    assert np.max(np.abs(env - 1.0)) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Goertzel
+# ---------------------------------------------------------------------------
+
+def test_goertzel_matches_fft_bins(rng):
+    x = rng.standard_normal((2, 500))
+    bins = (0, 7, 100, 499)
+    got = np.asarray(goertzel(jnp.asarray(x), bins))
+    ref = np.fft.fft(x, axis=-1)[:, list(bins)]
+    assert np.max(np.abs(got - ref)) < tol(500)
+
+
+def test_goertzel_ri_planes(rng):
+    x = rng.standard_normal(64)
+    yr, yi = goertzel_ri(jnp.asarray(x), (3,))
+    ref = np.fft.fft(x)[3]
+    assert abs(complex(float(yr[0]), float(yi[0])) - ref) < tol(64)
+
+
+# ---------------------------------------------------------------------------
+# convolve / correlate
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+@pytest.mark.parametrize("method", ["direct", "fft"])
+def test_convolve_real(rng, mode, method):
+    x = rng.standard_normal(200)
+    h = rng.standard_normal(17)
+    got = np.asarray(convolve(jnp.asarray(x), h, mode, method=method))
+    ref = np.convolve(x, h, mode)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-10
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_convolve_complex_batched(rng, mode):
+    x = rng.standard_normal((3, 100)) + 1j * rng.standard_normal((3, 100))
+    h = rng.standard_normal(9) + 1j * rng.standard_normal(9)
+    got = np.asarray(convolve(jnp.asarray(x), h, mode))
+    for i in range(3):
+        ref = np.convolve(x[i], h, mode)
+        assert np.max(np.abs(got[i] - ref)) < 1e-10
+
+
+@pytest.mark.parametrize("mode", ["full", "same", "valid"])
+def test_correlate_matches_scipy(rng, mode):
+    x = rng.standard_normal(120) + 1j * rng.standard_normal(120)
+    h = rng.standard_normal(15) + 1j * rng.standard_normal(15)
+    got = np.asarray(correlate(jnp.asarray(x), h, mode))
+    ref = ss.correlate(x, h, mode)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-10
+
+
+def test_convolve_auto_long_kernel_uses_fft(rng):
+    """auto == fft for long kernels; parity with scipy.fftconvolve."""
+    x = rng.standard_normal(4096)
+    h = rng.standard_normal(301)
+    got = np.asarray(convolve(jnp.asarray(x), h))
+    ref = ss.fftconvolve(x, h)
+    assert np.max(np.abs(got - ref)) < 1e-8
+
+
+def test_convolve_rejects_bad_args(rng):
+    x = jnp.asarray(rng.standard_normal(16))
+    with pytest.raises(ValueError):
+        convolve(x, np.ones((2, 2)))
+    with pytest.raises(ValueError):
+        convolve(x, np.ones(4), mode="cyclic")
+    with pytest.raises(ValueError):
+        convolve(x, np.ones(4), method="magic")
