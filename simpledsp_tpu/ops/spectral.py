@@ -16,7 +16,8 @@ import numpy as np
 
 from simpledsp_tpu.ops import fft as _fft
 
-__all__ = ["spectrogram_ri", "welch_psd", "window_taps"]
+__all__ = ["spectrogram_ri", "welch_psd", "window_taps",
+           "stft_ri", "istft_ri"]
 
 
 def window_taps(kind: str, n: int) -> np.ndarray:
@@ -82,6 +83,66 @@ def spectrogram_ri(x: jnp.ndarray, nfft: int = 1024, *,
     if onesided:
         return _fft.rfft_ri(frames)
     return _fft.fft_ri(frames, jnp.zeros_like(frames))
+
+
+def stft_ri(x: jnp.ndarray, nfft: int = 1024, *,
+            hop: Optional[int] = None, window: str = "hann",
+            onesided: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Short-time Fourier transform of a real signal (no boundary padding,
+    no 1/sum(w) scaling — scipy.signal.stft with ``boundary=None,
+    padded=False`` times ``sum(w)``): (..., T) -> (re, im) planes of shape
+    (..., nframes, nfft//2+1) (or nfft bins with ``onesided=False``).
+    Inverted exactly by :func:`istft_ri` (weighted overlap-add)."""
+    return spectrogram_ri(x, nfft, hop=hop or nfft // 2, window=window,
+                          onesided=onesided)
+
+
+def istft_ri(sr: jnp.ndarray, si: jnp.ndarray, nfft: int = 1024, *,
+             hop: Optional[int] = None, window: str = "hann",
+             onesided: bool = True) -> jnp.ndarray:
+    """Inverse STFT via weighted overlap-add: (..., nframes, nbins) planes
+    -> (..., (nframes-1)*hop + nfft) real signal.
+
+    Each inverse-FFT frame is re-weighted by the analysis window and the
+    sum is normalized by the window-power overlap ``sum_f w^2[t - f hop]``
+    (the least-squares inverse; exact wherever the window is nonzero, for
+    ANY window/hop — no COLA condition needed).  TPU-friendly formulation:
+    with q = nfft // hop, the overlap-add is q shifted pad-and-adds on the
+    frame axis — pure reshapes/pads, no scatter.  The normalizer is a
+    host-side float64 constant.  Requires hop | nfft.
+    """
+    hop = hop or nfft // 2
+    if nfft % hop:
+        raise ValueError(f"hop={hop} must divide nfft={nfft}")
+    q = nfft // hop
+    if onesided:
+        frames = _fft.irfft_ri(sr, si, nfft)     # (..., F, nfft)
+    else:
+        frames, _ = _fft.ifft_ri(sr, si)
+    nframes = frames.shape[-2]
+    w64 = window_taps(window, nfft)
+    w = jnp.asarray(w64, dtype=frames.dtype)
+    fw = frames * w                              # synthesis re-weighting
+    # Overlap-add: split each frame into q hop-chunks; chunk j of frame f
+    # lands at output block f + j.  Shift = pad on the frame axis.
+    fw = fw.reshape(fw.shape[:-1] + (q, hop))    # (..., F, q, hop)
+    lead = fw.ndim - 3
+    total = None
+    for j in range(q):
+        part = jnp.pad(fw[..., j, :],
+                       [(0, 0)] * lead + [(j, q - 1 - j), (0, 0)])
+        total = part if total is None else total + part
+    y = total.reshape(total.shape[:-2] + ((nframes + q - 1) * hop,))
+    # Window-power normalizer over the same OLA geometry (host, f64): the
+    # w^2 chunks summed into q output blocks, same decomposition as above.
+    t_out = (nframes - 1) * hop + nfft
+    w2 = (w64 * w64).reshape(q, hop)
+    den = np.zeros((nframes + q - 1, hop))
+    for j in range(q):
+        den[j: j + nframes] += w2[j]
+    den = den.reshape(-1)[:t_out]
+    den = np.where(den > 1e-10 * np.max(den), den, 1.0)
+    return y[..., :t_out] / jnp.asarray(den, dtype=y.dtype)
 
 
 def welch_psd(x: jnp.ndarray, nfft: int = 1024, *, fs: float = 1.0,

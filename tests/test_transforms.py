@@ -216,3 +216,55 @@ def test_convolve_rejects_bad_args(rng):
         convolve(x, np.ones(4), mode="cyclic")
     with pytest.raises(ValueError):
         convolve(x, np.ones(4), method="magic")
+
+
+# ---------------------------------------------------------------------------
+# STFT / ISTFT
+# ---------------------------------------------------------------------------
+
+from simpledsp_tpu.ops.spectral import istft_ri, stft_ri  # noqa: E402
+
+
+def test_stft_istft_round_trip_hann(rng):
+    """Weighted-OLA inverse recovers every sample where the window is
+    nonzero (periodic hann zeroes only t = 0)."""
+    x = rng.standard_normal((2, 2048))
+    sr, si = stft_ri(jnp.asarray(x), nfft=256, hop=128)
+    y = np.asarray(istft_ri(sr, si, nfft=256, hop=128))
+    assert y.shape == x.shape
+    assert np.max(np.abs(y[:, 1:] - x[:, 1:])) < 1e-6
+    assert np.max(np.abs(y[:, 128:-128] - x[:, 128:-128])) < 1e-10
+
+
+def test_stft_istft_rect_no_overlap(rng):
+    x = rng.standard_normal(1024)
+    sr, si = stft_ri(jnp.asarray(x), nfft=128, hop=128, window="rect")
+    y = np.asarray(istft_ri(sr, si, nfft=128, hop=128, window="rect"))
+    assert np.max(np.abs(y - x)) < 1e-12
+
+
+def test_stft_istft_quarter_hop_twosided(rng):
+    x = rng.standard_normal(1000)
+    sr, si = stft_ri(jnp.asarray(x), nfft=64, hop=16, onesided=False)
+    y = np.asarray(istft_ri(sr, si, nfft=64, hop=16, onesided=False))
+    n_out = y.shape[-1]
+    assert np.max(np.abs(y[1:n_out] - x[1:n_out])) < 1e-8
+
+
+def test_stft_matches_scipy(rng):
+    """Ours == scipy.signal.stft(boundary=None, padded=False) * sum(w)."""
+    x = rng.standard_normal(2048)
+    sr, si = stft_ri(jnp.asarray(x), nfft=256, hop=128)
+    w = np.hanning(257)[:-1]  # periodic hann
+    _, _, zxx = ss.stft(x, nperseg=256, noverlap=128, boundary=None,
+                        padded=False)
+    ref = (zxx * np.sum(w)).T  # scipy is (bins, frames)
+    got = np.asarray(sr) + 1j * np.asarray(si)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-9 * np.max(np.abs(ref))
+
+
+def test_istft_rejects_bad_hop(rng):
+    sr = jnp.zeros((4, 33))
+    with pytest.raises(ValueError):
+        istft_ri(sr, sr, nfft=64, hop=48)
