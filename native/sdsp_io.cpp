@@ -95,43 +95,133 @@ size_t sdsp_ring_pop(SdspRing* r, uint8_t* dst, size_t n) {
     return n;
 }
 
+}  // extern "C" (resumed below — the fork-join helpers are C++ templates)
+
 // ---------------------------------------------------------------------------
 // SDR sample-format converters.  All write float32 planes, the framework's
 // native IQ representation (complex never materializes on the TPU path).
+// Each converter has a single-threaded core over an index range plus a
+// fork-join multithreaded entry (nthreads <= 0 -> hardware concurrency):
+// production ingest blocks are hundreds of MB, where one core cannot reach
+// DRAM bandwidth but a few can, and thread spawn cost (~tens of us) is
+// negligible at >= 1 MB per call (the _mt entries fall back to the serial
+// loop below that).
 // ---------------------------------------------------------------------------
 
-// Interleaved int16 IQ -> separate re/im float planes, scaled by 1/32768.
-void sdsp_cvt_iq16_planes(const int16_t* src, float* re, float* im,
-                          size_t npairs, float scale) {
-    for (size_t i = 0; i < npairs; ++i) {
+static unsigned resolve_threads(int nthreads, size_t work_bytes) {
+    unsigned n = nthreads > 0 ? static_cast<unsigned>(nthreads)
+                              : std::thread::hardware_concurrency();
+    if (n == 0) n = 1;
+    if (n > 16) n = 16;
+    // At least ~1 MB of work per thread, else serial.
+    const size_t max_by_work = work_bytes >> 20;
+    if (max_by_work < n) n = max_by_work ? static_cast<unsigned>(max_by_work)
+                                         : 1;
+    return n;
+}
+
+// Runs fn(lo, hi) over [0, total) split across resolve_threads(nthreads).
+template <typename Fn>
+static void parallel_for(size_t total, size_t work_bytes, int nthreads,
+                         Fn fn) {
+    const unsigned n = resolve_threads(nthreads, work_bytes);
+    if (n <= 1) { fn(static_cast<size_t>(0), total); return; }
+    std::thread workers[16];
+    const size_t step = (total + n - 1) / n;
+    for (unsigned t = 0; t < n; ++t) {
+        const size_t lo = t * step;
+        const size_t hi = lo + step < total ? lo + step : total;
+        workers[t] = std::thread([=] { if (lo < hi) fn(lo, hi); });
+    }
+    for (unsigned t = 0; t < n; ++t) workers[t].join();
+}
+
+static void cvt_iq16_range(const int16_t* src, float* re, float* im,
+                           size_t lo, size_t hi, float scale) {
+    for (size_t i = lo; i < hi; ++i) {
         re[i] = static_cast<float>(src[2 * i]) * scale;
         im[i] = static_cast<float>(src[2 * i + 1]) * scale;
     }
 }
 
-// Interleaved uint8 IQ (RTL-SDR convention, offset 127.5) -> planes.
-void sdsp_cvt_iqu8_planes(const uint8_t* src, float* re, float* im,
-                          size_t npairs, float scale) {
-    for (size_t i = 0; i < npairs; ++i) {
+static void cvt_iqu8_range(const uint8_t* src, float* re, float* im,
+                           size_t lo, size_t hi, float scale) {
+    for (size_t i = lo; i < hi; ++i) {
         re[i] = (static_cast<float>(src[2 * i]) - 127.5f) * scale;
         im[i] = (static_cast<float>(src[2 * i + 1]) - 127.5f) * scale;
     }
 }
 
-// Real int16 -> float32.
-void sdsp_cvt_i16_f32(const int16_t* src, float* dst, size_t n, float scale) {
-    for (size_t i = 0; i < n; ++i)
+static void cvt_i16_f32_range(const int16_t* src, float* dst,
+                              size_t lo, size_t hi, float scale) {
+    for (size_t i = lo; i < hi; ++i)
         dst[i] = static_cast<float>(src[i]) * scale;
 }
 
-// float32 -> int16 with clamping (for writing demodulated audio out).
-void sdsp_cvt_f32_i16(const float* src, int16_t* dst, size_t n, float scale) {
-    for (size_t i = 0; i < n; ++i) {
+static void cvt_f32_i16_range(const float* src, int16_t* dst,
+                              size_t lo, size_t hi, float scale) {
+    for (size_t i = lo; i < hi; ++i) {
         float v = src[i] * scale;
         if (v > 32767.0f) v = 32767.0f;
         if (v < -32768.0f) v = -32768.0f;
         dst[i] = static_cast<int16_t>(v);
     }
+}
+
+extern "C" {
+
+// Interleaved int16 IQ -> separate re/im float planes, scaled by 1/32768.
+void sdsp_cvt_iq16_planes(const int16_t* src, float* re, float* im,
+                          size_t npairs, float scale) {
+    cvt_iq16_range(src, re, im, 0, npairs, scale);
+}
+
+void sdsp_cvt_iq16_planes_mt(const int16_t* src, float* re, float* im,
+                             size_t npairs, float scale, int nthreads) {
+    parallel_for(npairs, npairs * 12, nthreads,
+                 [=](size_t lo, size_t hi) {
+                     cvt_iq16_range(src, re, im, lo, hi, scale);
+                 });
+}
+
+// Interleaved uint8 IQ (RTL-SDR convention, offset 127.5) -> planes.
+void sdsp_cvt_iqu8_planes(const uint8_t* src, float* re, float* im,
+                          size_t npairs, float scale) {
+    cvt_iqu8_range(src, re, im, 0, npairs, scale);
+}
+
+void sdsp_cvt_iqu8_planes_mt(const uint8_t* src, float* re, float* im,
+                             size_t npairs, float scale, int nthreads) {
+    parallel_for(npairs, npairs * 10, nthreads,
+                 [=](size_t lo, size_t hi) {
+                     cvt_iqu8_range(src, re, im, lo, hi, scale);
+                 });
+}
+
+// Real int16 -> float32.
+void sdsp_cvt_i16_f32(const int16_t* src, float* dst, size_t n, float scale) {
+    cvt_i16_f32_range(src, dst, 0, n, scale);
+}
+
+void sdsp_cvt_i16_f32_mt(const int16_t* src, float* dst, size_t n,
+                         float scale, int nthreads) {
+    parallel_for(n, n * 6, nthreads,
+                 [=](size_t lo, size_t hi) {
+                     cvt_i16_f32_range(src, dst, lo, hi, scale);
+                 });
+}
+
+// float32 -> int16 with clamping (for writing demodulated audio out).
+void sdsp_cvt_f32_i16(const float* src, int16_t* dst, size_t n, float scale) {
+    cvt_f32_i16_range(src, dst, 0, n, scale);
+}
+
+void sdsp_cvt_f32_i16_mt(const float* src, int16_t* dst, size_t n,
+                         float scale, int nthreads) {
+    parallel_for(n, n * 6, nthreads,
+                 [=](size_t lo, size_t hi) {
+                     cvt_f32_i16_range(src, dst, lo, hi, scale);
+                 });
 }
 
 // ---------------------------------------------------------------------------
@@ -185,6 +275,75 @@ void sdsp_file_source_stop(SdspFileSource* s) {
     if (s->worker.joinable()) s->worker.join();
     std::fclose(s->fp);
     delete s;
+}
+
+// ---------------------------------------------------------------------------
+// Background file sink: a thread draining a ring buffer into a file — the
+// output mirror of SdspFileSource (e.g. demodulated audio from the CLI rx
+// loop).  On stop it drains whatever remains in the ring before closing,
+// so producer-side "push then stop" never loses bytes.
+// ---------------------------------------------------------------------------
+
+struct SdspFileSink {
+    SdspRing* ring;               // not owned
+    std::FILE* fp;                // owned
+    std::thread worker;
+    std::atomic<int> state;       // 0 running, 2 stop requested, 3 error
+    std::atomic<uint64_t> written;
+    size_t chunk;
+};
+
+static void file_sink_loop(SdspFileSink* s) {
+    uint8_t* tmp = static_cast<uint8_t*>(std::malloc(s->chunk));
+    if (!tmp) { s->state.store(3); return; }
+    for (;;) {
+        const size_t got = sdsp_ring_pop(s->ring, tmp, s->chunk);
+        if (got) {
+            if (std::fwrite(tmp, 1, got, s->fp) != got) {
+                s->state.store(3);
+                break;
+            }
+            s->written.fetch_add(got, std::memory_order_relaxed);
+        } else if (s->state.load(std::memory_order_relaxed) != 0) {
+            break;  // stop requested AND ring drained
+        } else {
+            std::this_thread::yield();
+        }
+    }
+    std::free(tmp);
+}
+
+SdspFileSink* sdsp_file_sink_start(const char* path, SdspRing* ring,
+                                   size_t chunk) {
+    std::FILE* fp = std::fopen(path, "wb");
+    if (!fp) return nullptr;
+    auto* s = new SdspFileSink();
+    s->ring = ring;
+    s->fp = fp;
+    s->chunk = chunk ? chunk : (1 << 16);
+    s->state.store(0);
+    s->written.store(0);
+    s->worker = std::thread(file_sink_loop, s);
+    return s;
+}
+
+int sdsp_file_sink_state(const SdspFileSink* s) { return s->state.load(); }
+
+uint64_t sdsp_file_sink_written(const SdspFileSink* s) {
+    return s->written.load();
+}
+
+// Drains the ring, flushes, closes, frees.  Returns total bytes written.
+uint64_t sdsp_file_sink_stop(SdspFileSink* s) {
+    if (!s) return 0;
+    int expected = 0;
+    s->state.compare_exchange_strong(expected, 2);
+    if (s->worker.joinable()) s->worker.join();
+    std::fflush(s->fp);
+    std::fclose(s->fp);
+    const uint64_t total = s->written.load();
+    delete s;
+    return total;
 }
 
 }  // extern "C"

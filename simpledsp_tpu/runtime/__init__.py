@@ -1,6 +1,7 @@
 """Native host-side streaming runtime (C++ via ctypes)."""
 
 from simpledsp_tpu.runtime.stream import (
+    FileSink,
     FileSource,
     RingBuffer,
     f32_to_i16,

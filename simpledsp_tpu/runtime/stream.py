@@ -22,8 +22,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["RingBuffer", "FileSource", "iq16_to_planes", "iqu8_to_planes",
-           "i16_to_f32", "f32_to_i16", "load_library"]
+__all__ = ["RingBuffer", "FileSource", "FileSink", "iq16_to_planes",
+           "iqu8_to_planes", "i16_to_f32", "f32_to_i16", "load_library"]
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 _NATIVE_DIR = _REPO_ROOT / "native"
@@ -68,6 +68,12 @@ def load_library() -> ctypes.CDLL:
         lib.sdsp_cvt_i16_f32.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float]
         lib.sdsp_cvt_f32_i16.argtypes = lib.sdsp_cvt_i16_f32.argtypes
+        for fn in ("sdsp_cvt_iq16_planes_mt", "sdsp_cvt_iqu8_planes_mt"):
+            getattr(lib, fn).argtypes = \
+                lib.sdsp_cvt_iq16_planes.argtypes + [ctypes.c_int]
+        for fn in ("sdsp_cvt_i16_f32_mt", "sdsp_cvt_f32_i16_mt"):
+            getattr(lib, fn).argtypes = \
+                lib.sdsp_cvt_i16_f32.argtypes + [ctypes.c_int]
 
         lib.sdsp_file_source_start.restype = ctypes.c_void_p
         lib.sdsp_file_source_start.argtypes = [
@@ -75,6 +81,16 @@ def load_library() -> ctypes.CDLL:
         lib.sdsp_file_source_state.restype = ctypes.c_int
         lib.sdsp_file_source_state.argtypes = [ctypes.c_void_p]
         lib.sdsp_file_source_stop.argtypes = [ctypes.c_void_p]
+
+        lib.sdsp_file_sink_start.restype = ctypes.c_void_p
+        lib.sdsp_file_sink_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.sdsp_file_sink_state.restype = ctypes.c_int
+        lib.sdsp_file_sink_state.argtypes = [ctypes.c_void_p]
+        lib.sdsp_file_sink_written.restype = ctypes.c_uint64
+        lib.sdsp_file_sink_written.argtypes = [ctypes.c_void_p]
+        lib.sdsp_file_sink_stop.restype = ctypes.c_uint64
+        lib.sdsp_file_sink_stop.argtypes = [ctypes.c_void_p]
 
         _lib = lib
         return lib
@@ -192,40 +208,85 @@ class FileSource:
         self.stop()
 
 
-def iq16_to_planes(raw: np.ndarray, scale: float = 1.0 / 32768.0
-                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """Interleaved int16 IQ -> (re, im) float32 planes (native loop)."""
+class FileSink:
+    """Background native thread draining a RingBuffer into a file — the
+    output mirror of :class:`FileSource` (e.g. demodulated audio out).
+    ``stop()`` drains whatever remains in the ring before closing, so
+    "push then stop" never loses bytes; it returns total bytes written."""
+
+    RUNNING, ERROR = 0, 3
+
+    def __init__(self, path: os.PathLike, ring: RingBuffer,
+                 chunk: int = 1 << 16):
+        self._lib = load_library()
+        self.ring = ring
+        self._h = self._lib.sdsp_file_sink_start(
+            str(path).encode(), ring._h, chunk)
+        if not self._h:
+            raise OSError(f"cannot open {path} for writing")
+
+    @property
+    def state(self) -> int:
+        return self._lib.sdsp_file_sink_state(self._h)
+
+    @property
+    def written(self) -> int:
+        return self._lib.sdsp_file_sink_written(self._h)
+
+    def stop(self) -> int:
+        if not self._h:
+            return 0
+        total = self._lib.sdsp_file_sink_stop(self._h)
+        self._h = None
+        return total
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def iq16_to_planes(raw: np.ndarray, scale: float = 1.0 / 32768.0, *,
+                   threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Interleaved int16 IQ -> (re, im) float32 planes (native, fork-join
+    multithreaded for large blocks; ``threads=0`` auto, ``1`` serial)."""
     raw = np.ascontiguousarray(raw, dtype=np.int16)
     npairs = raw.size // 2
     re = np.empty(npairs, dtype=np.float32)
     im = np.empty(npairs, dtype=np.float32)
-    load_library().sdsp_cvt_iq16_planes(_as_ptr(raw), _as_ptr(re),
-                                        _as_ptr(im), npairs, scale)
+    load_library().sdsp_cvt_iq16_planes_mt(_as_ptr(raw), _as_ptr(re),
+                                           _as_ptr(im), npairs, scale,
+                                           threads)
     return re, im
 
 
-def iqu8_to_planes(raw: np.ndarray, scale: float = 1.0 / 127.5
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+def iqu8_to_planes(raw: np.ndarray, scale: float = 1.0 / 127.5, *,
+                   threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Interleaved uint8 IQ (RTL-SDR convention) -> (re, im) f32 planes."""
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
     npairs = raw.size // 2
     re = np.empty(npairs, dtype=np.float32)
     im = np.empty(npairs, dtype=np.float32)
-    load_library().sdsp_cvt_iqu8_planes(_as_ptr(raw), _as_ptr(re),
-                                        _as_ptr(im), npairs, scale)
+    load_library().sdsp_cvt_iqu8_planes_mt(_as_ptr(raw), _as_ptr(re),
+                                           _as_ptr(im), npairs, scale,
+                                           threads)
     return re, im
 
 
-def i16_to_f32(raw: np.ndarray, scale: float = 1.0 / 32768.0) -> np.ndarray:
+def i16_to_f32(raw: np.ndarray, scale: float = 1.0 / 32768.0, *,
+               threads: int = 0) -> np.ndarray:
     raw = np.ascontiguousarray(raw, dtype=np.int16)
     out = np.empty(raw.size, dtype=np.float32)
-    load_library().sdsp_cvt_i16_f32(_as_ptr(raw), _as_ptr(out), raw.size,
-                                    scale)
+    load_library().sdsp_cvt_i16_f32_mt(_as_ptr(raw), _as_ptr(out), raw.size,
+                                       scale, threads)
     return out
 
 
-def f32_to_i16(x: np.ndarray, scale: float = 32767.0) -> np.ndarray:
+def f32_to_i16(x: np.ndarray, scale: float = 32767.0, *,
+               threads: int = 0) -> np.ndarray:
     x = np.ascontiguousarray(x, dtype=np.float32)
     out = np.empty(x.size, dtype=np.int16)
-    load_library().sdsp_cvt_f32_i16(_as_ptr(x), _as_ptr(out), x.size, scale)
+    load_library().sdsp_cvt_f32_i16_mt(_as_ptr(x), _as_ptr(out), x.size,
+                                       scale, threads)
     return out

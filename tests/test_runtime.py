@@ -13,6 +13,7 @@ import pytest
 pytest.importorskip("ctypes")
 
 from simpledsp_tpu.runtime import (
+    FileSink,
     FileSource,
     RingBuffer,
     f32_to_i16,
@@ -180,3 +181,82 @@ class TestPopAlignment:
         got = np.concatenate([first, rest])
         np.testing.assert_array_equal(got, data)
         r.close()
+
+
+class TestMultithreadedConverters:
+    """The _mt fork-join converters must be bit-identical to the serial
+    loops at any thread count (including the <1 MB serial fallback)."""
+
+    def test_iq16_mt_matches_serial(self, rng):
+        raw = rng.integers(-32768, 32768, size=2_000_000,
+                           dtype=np.int16)
+        re1, im1 = iq16_to_planes(raw, threads=1)
+        for threads in (0, 2, 4):
+            re, im = iq16_to_planes(raw, threads=threads)
+            assert np.array_equal(re, re1)
+            assert np.array_equal(im, im1)
+
+    def test_iqu8_mt_matches_serial(self, rng):
+        raw = rng.integers(0, 256, size=3_000_001, dtype=np.uint8)
+        raw = raw[:-1]  # even pair count
+        re1, im1 = iqu8_to_planes(raw, threads=1)
+        re4, im4 = iqu8_to_planes(raw, threads=4)
+        assert np.array_equal(re4, re1)
+        assert np.array_equal(im4, im1)
+
+    def test_i16_f32_mt_small_block_serial_fallback(self, rng):
+        raw = rng.integers(-100, 100, size=777, dtype=np.int16)
+        assert np.array_equal(i16_to_f32(raw, threads=8),
+                              i16_to_f32(raw, threads=1))
+
+    def test_f32_i16_mt_matches_serial(self, rng):
+        x = rng.standard_normal(1_500_000).astype(np.float32) * 2.0
+        assert np.array_equal(f32_to_i16(x, threads=4),
+                              f32_to_i16(x, threads=1))
+
+
+class TestFileSink:
+    def test_drains_ring_to_file(self, tmp_path, rng):
+        data = rng.integers(0, 256, size=300_000, dtype=np.uint8)
+        ring = RingBuffer(1 << 16)
+        path = tmp_path / "out.bin"
+        with FileSink(path, ring) as sink:
+            off = 0
+            while off < data.size:
+                off += ring.push(data[off:off + 30_000])
+            # stop() (via __exit__) must drain the remainder.
+        assert np.array_equal(np.fromfile(path, dtype=np.uint8), data)
+        ring.close()
+
+    def test_written_count_and_stop_return(self, tmp_path, rng):
+        data = rng.integers(0, 256, size=65_536, dtype=np.uint8)
+        ring = RingBuffer(1 << 20)
+        sink = FileSink(tmp_path / "w.bin", ring)
+        ring.push(data)
+        total = sink.stop()
+        assert total == data.size
+        ring.close()
+
+    def test_source_to_sink_pipeline(self, tmp_path, rng):
+        """file -> FileSource -> ring -> FileSink -> file copies exactly."""
+        src_path = tmp_path / "src.bin"
+        dst_path = tmp_path / "dst.bin"
+        data = rng.integers(0, 256, size=200_000, dtype=np.uint8)
+        data.tofile(src_path)
+        ring = RingBuffer(1 << 14)
+        sink = FileSink(dst_path, ring)
+        with FileSource(src_path, ring) as src:
+            import time
+            deadline = time.monotonic() + 10.0
+            while src.state == FileSource.RUNNING:
+                assert time.monotonic() < deadline
+                time.sleep(0.001)
+        sink.stop()
+        assert np.array_equal(np.fromfile(dst_path, dtype=np.uint8), data)
+        ring.close()
+
+    def test_bad_path_raises(self):
+        ring = RingBuffer(1 << 12)
+        with pytest.raises(OSError):
+            FileSink("/nonexistent-dir/x.bin", ring)
+        ring.close()
