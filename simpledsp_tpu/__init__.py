@@ -26,6 +26,9 @@ from simpledsp_tpu.design.biquad import (
     sos_matrix,
 )
 from simpledsp_tpu.design.fir import (
+    bandpass_taps,
+    bandstop_taps,
+    highpass_taps,
     lowpass_taps,
     pfb_prototype_taps,
     resampler_taps,
@@ -56,6 +59,7 @@ from simpledsp_tpu.ops.fir import (
     PolyphaseInterpolator,
     PolyphaseResampler,
     fir_filter,
+    resample,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import convolve, correlate

@@ -16,6 +16,9 @@ import numpy as np
 
 __all__ = [
     "lowpass_taps",
+    "highpass_taps",
+    "bandpass_taps",
+    "bandstop_taps",
     "kaiser_beta",
     "resampler_taps",
     "pfb_prototype_taps",
@@ -58,6 +61,77 @@ def lowpass_taps(num_taps: int, cutoff: float, fs: float = 2.0,
         raise ValueError(f"unknown window {window!r}")
     h *= w
     return h / h.sum()
+
+
+def _window_taps(window: str, num_taps: int, atten_db: float) -> np.ndarray:
+    if window == "kaiser":
+        return np.kaiser(num_taps, kaiser_beta(atten_db))
+    if window == "hamming":
+        return np.hamming(num_taps)
+    if window == "blackman":
+        return np.blackman(num_taps)
+    if window == "rect":
+        return np.ones(num_taps)
+    raise ValueError(f"unknown window {window!r}")
+
+
+def _firwin_bands(num_taps: int, bands, window: str,
+                  atten_db: float) -> np.ndarray:
+    """Windowed-sinc multi-band linear-phase FIR (scipy.signal.firwin
+    construction): band edges normalized to Nyquist = 1; response scaled
+    to unity at DC (if passed), else Nyquist (if passed), else the first
+    passband's midpoint."""
+    if num_taps < 2:
+        raise ValueError("num_taps must be >= 2")
+    for left, right in bands:
+        if not (0.0 <= left < right <= 1.0):
+            raise ValueError(f"bad band ({left}, {right}) — edges must be "
+                             "ascending within (0, fs/2)")
+    if bands[-1][1] == 1.0 and num_taps % 2 == 0:
+        raise ValueError("a filter passing Nyquist needs odd num_taps "
+                         "(even-length type-II FIRs are zero there)")
+    m = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = np.zeros(num_taps)
+    for left, right in bands:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+    h *= _window_taps(window, num_taps, atten_db)
+    if bands[0][0] == 0.0:
+        scale_f = 0.0
+    elif bands[-1][1] == 1.0:
+        scale_f = 1.0
+    else:
+        scale_f = 0.5 * (bands[0][0] + bands[0][1])
+    c = np.cos(np.pi * m * scale_f)
+    return h / np.sum(h * c)
+
+
+def highpass_taps(num_taps: int, cutoff: float, fs: float = 2.0,
+                  window: str = "kaiser",
+                  atten_db: float = 80.0) -> np.ndarray:
+    """Windowed-sinc linear-phase high-pass FIR (unity gain at Nyquist;
+    odd num_taps required).  Validated against scipy.signal.firwin."""
+    return _firwin_bands(num_taps, [(2.0 * cutoff / fs, 1.0)], window,
+                         atten_db)
+
+
+def bandpass_taps(num_taps: int, f_lo: float, f_hi: float, fs: float = 2.0,
+                  window: str = "kaiser",
+                  atten_db: float = 80.0) -> np.ndarray:
+    """Windowed-sinc linear-phase band-pass FIR (unity gain at the band
+    midpoint).  Validated against scipy.signal.firwin."""
+    return _firwin_bands(num_taps, [(2.0 * f_lo / fs, 2.0 * f_hi / fs)],
+                         window, atten_db)
+
+
+def bandstop_taps(num_taps: int, f_lo: float, f_hi: float, fs: float = 2.0,
+                  window: str = "kaiser",
+                  atten_db: float = 80.0) -> np.ndarray:
+    """Windowed-sinc linear-phase band-stop FIR (unity DC gain; odd
+    num_taps required) — the FIR complement of design/biquad's band-stop,
+    itself the reference's TODO item (reference: README.md:15)."""
+    return _firwin_bands(
+        num_taps, [(0.0, 2.0 * f_lo / fs), (2.0 * f_hi / fs, 1.0)],
+        window, atten_db)
 
 
 def resampler_taps(up: int, down: int, taps_per_phase: int = 24,

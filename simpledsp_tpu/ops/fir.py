@@ -40,7 +40,43 @@ __all__ = [
     "PolyphaseInterpolator",
     "OverlapSaveFIR",
     "fir_filter",
+    "resample",
 ]
+
+
+def resample(x: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Fourier-method resampling of a REAL signal over the last axis to
+    exactly ``num`` samples (scipy.signal.resample semantics, including
+    the even-length Nyquist-bin fold/halve rules) — the whole-signal
+    complement of the streaming :class:`PolyphaseResampler`.
+
+    One rfft + bin copy + irfft; batched over leading axes.  Assumes the
+    signal is periodic over the window (use the polyphase resampler for
+    streaming / non-periodic data).
+    """
+    if jnp.iscomplexobj(x):
+        raise ValueError("resample expects a real array (the streaming "
+                         "PolyphaseResampler handles IQ via RI planes)")
+    n = x.shape[-1]
+    if num < 1:
+        raise ValueError(f"num must be positive, got {num}")
+    xr, xi = _fft.rfft_ri(x)
+    nb_new = num // 2 + 1
+    nb = min(xr.shape[-1], nb_new)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, nb_new - nb)]
+    yr = jnp.pad(xr[..., :nb], pad)
+    yi = jnp.pad(xi[..., :nb], pad)
+    if num < n and num % 2 == 0:
+        # Downsampling onto an even grid folds the +/- old bins at the new
+        # Nyquist: Y[num/2] = 2 Re X[num/2] (scipy.signal.resample rule).
+        yr = yr.at[..., num // 2].set(2.0 * xr[..., num // 2])
+        yi = yi.at[..., num // 2].set(0.0)
+    if num > n and n % 2 == 0:
+        # Upsampling splits the old Nyquist bin symmetrically.
+        yr = yr.at[..., n // 2].multiply(0.5)
+        yi = yi.at[..., n // 2].multiply(0.5)
+    y = _fft.irfft_ri(yr, yi, num)
+    return y * (num / n)
 
 
 class FIRState(NamedTuple):

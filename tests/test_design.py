@@ -179,3 +179,55 @@ def test_block_matches_scan_random_designs():
                               jnp.asarray(x), iir_init(m, (), jnp.float64))
         scale = max(1.0, np.abs(np.asarray(y_s)).max())
         assert np.abs(np.asarray(y_b) - np.asarray(y_s)).max() / scale < 1e-11
+
+
+class TestFirwinBands:
+    """highpass/bandpass/bandstop windowed-sinc designs vs
+    scipy.signal.firwin (same construction, same kaiser window)."""
+
+    def test_highpass_matches_firwin(self):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.fir import highpass_taps, kaiser_beta
+
+        h = highpass_taps(101, 8e3, fs=48e3, atten_db=70.0)
+        ref = ss.firwin(101, 8e3, fs=48e3, pass_zero=False,
+                        window=("kaiser", kaiser_beta(70.0)))
+        np.testing.assert_allclose(h, ref, atol=1e-14)
+
+    def test_bandpass_matches_firwin(self):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.fir import bandpass_taps, kaiser_beta
+
+        h = bandpass_taps(128, 4e3, 9e3, fs=48e3, atten_db=60.0)
+        ref = ss.firwin(128, [4e3, 9e3], fs=48e3, pass_zero=False,
+                        window=("kaiser", kaiser_beta(60.0)))
+        np.testing.assert_allclose(h, ref, atol=1e-14)
+
+    def test_bandstop_matches_firwin(self):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.fir import bandstop_taps, kaiser_beta
+
+        h = bandstop_taps(151, 4e3, 9e3, fs=48e3, atten_db=60.0)
+        ref = ss.firwin(151, [4e3, 9e3], fs=48e3, pass_zero=True,
+                        window=("kaiser", kaiser_beta(60.0)))
+        np.testing.assert_allclose(h, ref, atol=1e-14)
+
+    def test_stopband_attenuation(self):
+        """Frequency-domain gate: >= 75 dB down in the designed stopband."""
+        from simpledsp_tpu.design.fir import bandstop_taps
+
+        h = bandstop_taps(201, 0.2, 0.3, fs=1.0, atten_db=80.0)
+        f = np.linspace(0, 0.5, 4001)
+        w = np.exp(-2j * np.pi * np.outer(f, np.arange(h.size)))
+        mag = np.abs(w @ h)
+        stop = (f > 0.225) & (f < 0.275)
+        assert mag[stop].max() < 10 ** (-75 / 20.0)
+        assert abs(mag[0] - 1.0) < 1e-6
+
+    def test_even_taps_at_nyquist_rejected(self):
+        from simpledsp_tpu.design.fir import bandstop_taps, highpass_taps
+
+        with pytest.raises(ValueError):
+            highpass_taps(100, 8e3, fs=48e3)
+        with pytest.raises(ValueError):
+            bandstop_taps(100, 4e3, 9e3, fs=48e3)

@@ -137,3 +137,29 @@ def test_fir_filter_convenience():
     y_fft, _ = fir_filter(h, x, method="fft", block_size=1024)
     y_dir, _ = fir_filter(h, x, method="direct")
     assert np.max(np.abs(np.asarray(y_fft) - np.asarray(y_dir))) < 1e-10
+
+
+class TestFourierResample:
+    """ops.fir.resample vs scipy.signal.resample (FFT method), including
+    the even-grid Nyquist fold/halve rules."""
+
+    @pytest.mark.parametrize("n,num", [(100, 50), (100, 51), (100, 200),
+                                       (100, 201), (99, 50), (99, 200),
+                                       (100, 64), (128, 100), (100, 100)])
+    def test_matches_scipy(self, rng, n, num):
+        import scipy.signal as ss
+        from simpledsp_tpu.ops.fir import resample
+
+        x = rng.standard_normal((3, n))
+        got = np.asarray(resample(jnp.asarray(x), num))
+        ref = ss.resample(x, num, axis=-1)
+        assert got.shape == ref.shape
+        assert np.max(np.abs(got - ref)) < 1e-10
+
+    def test_rejects_complex_and_bad_num(self, rng):
+        from simpledsp_tpu.ops.fir import resample
+
+        with pytest.raises(ValueError):
+            resample(jnp.asarray(np.ones(8, dtype=np.complex128)), 4)
+        with pytest.raises(ValueError):
+            resample(jnp.asarray(np.ones(8)), 0)
