@@ -7,3 +7,4 @@ from simpledsp_tpu.models.northstar import (
 )
 from simpledsp_tpu.models.sdr import FMReceiverBank, SDRState
 from simpledsp_tpu.models.sdr import AMReceiverBank
+from simpledsp_tpu.models.audio import MelSpectrogram, mel_filterbank, mfcc
