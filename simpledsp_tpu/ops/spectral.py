@@ -61,9 +61,19 @@ def _windowed_frames(x: jnp.ndarray, nfft: int, hop: Optional[int],
     nframes = (t - nfft) // hop + 1
     if nframes < 1:
         raise ValueError(f"signal length {t} shorter than nfft={nfft}")
-    starts = np.arange(nframes) * hop
-    idx = jnp.asarray(starts[:, None] + np.arange(nfft)[None, :])
-    frames = jnp.take(x, idx, axis=-1)  # (..., nframes, nfft)
+    if nfft % hop == 0:
+        # Gather-free framing (gathers are slow on TPU): view the signal
+        # as hop-sample blocks; frame f is blocks [f, f + q) — q shifted
+        # block-slices concatenated on the sample axis.
+        q = nfft // hop
+        nb = nframes + q - 1
+        xb = x[..., : nb * hop].reshape(x.shape[:-1] + (nb, hop))
+        frames = jnp.concatenate(
+            [xb[..., j: j + nframes, :] for j in range(q)], axis=-1)
+    else:
+        starts = np.arange(nframes) * hop
+        idx = jnp.asarray(starts[:, None] + np.arange(nfft)[None, :])
+        frames = jnp.take(x, idx, axis=-1)  # (..., nframes, nfft)
     frames = _detrend_frames(frames, detrend)
     w = jnp.asarray(window_taps(window, nfft), dtype=x.dtype)
     return frames * w
