@@ -241,14 +241,30 @@ class OverlapSaveFIR:
         # Each frame holds exactly its L-1+B real samples, zero-padded to
         # the power-of-two nfft — every frame's padding is zeros regardless
         # of how the stream was split, keeping streaming BIT-exact.
+        # Gather-free framing (gathers are slow on TPU): view xp as
+        # B-sample blocks; frame f spans blocks [f, f + q), assembled as q
+        # shifted block-slices + one concat.  Samples past W leak in from
+        # the next hop, so a constant 0/1 mask restores the exact zero
+        # padding (bit-identical frames to the old jnp.take path).
         W = L - 1 + B
-        starts = np.arange(S) * B
-        idx = jnp.asarray(starts[:, None] + np.arange(W)[None, :])
-        frames = jnp.take(xp, idx, axis=-1)  # (..., S, W)
-        if N > W:
+        q = -(-W // B)
+        nb = S + q - 1
+        tail = nb * B - xp.shape[-1]
+        lead = [(0, 0)] * (xp.ndim - 1)
+        xb = jnp.pad(xp, lead + [(0, tail)]) if tail else xp
+        xb = xb.reshape(xb.shape[:-1] + (nb, B))
+        frames = jnp.concatenate([xb[..., j: j + S, :] for j in range(q)],
+                                 axis=-1)              # (..., S, q B)
+        if W < q * B:
+            mask = np.zeros(q * B, dtype=np.dtype(self.dtype))
+            mask[:W] = 1.0
+            frames = frames * jnp.asarray(mask)
+        if N > q * B:
             frames = jnp.concatenate(
-                [frames, jnp.zeros(frames.shape[:-1] + (N - W,),
+                [frames, jnp.zeros(frames.shape[:-1] + (N - q * B,),
                                    dtype=frames.dtype)], axis=-1)
+        elif N < q * B:
+            frames = frames[..., :N]  # only masked zeros beyond W dropped
         # RI path: real input, complex never materializes.
         fr, fi = _fft.fft_ri(frames.astype(self.dtype),
                              jnp.zeros_like(frames, dtype=self.dtype))

@@ -268,3 +268,15 @@ def test_istft_rejects_bad_hop(rng):
     sr = jnp.zeros((4, 33))
     with pytest.raises(ValueError):
         istft_ri(sr, sr, nfft=64, hop=48)
+
+
+def test_convolve_long_signal_ols_route(rng):
+    """Long real x routes through overlap-save; parity with fftconvolve
+    at full/same/valid and with a batched input."""
+    x = rng.standard_normal((2, 40_000))
+    h = rng.standard_normal(301)
+    for mode in ("full", "same", "valid"):
+        got = np.asarray(convolve(jnp.asarray(x), h, mode))
+        ref = np.stack([ss.fftconvolve(x[i], h, mode) for i in range(2)])
+        assert got.shape == ref.shape
+        assert np.max(np.abs(got - ref)) < 1e-8
