@@ -202,6 +202,61 @@ def _cmd_spectra(args) -> int:
     return 0
 
 
+def _cmd_mfcc(args) -> int:
+    """Streaming MFCC features from a PCM file (int16 or float32 mono)."""
+    import jax.numpy as jnp
+    from simpledsp_tpu.models.audio import mfcc
+    from simpledsp_tpu.runtime import FileSource, RingBuffer, i16_to_f32
+
+    nfft, hop = args.fft, args.hop or args.fft // 2
+    if nfft % hop:
+        print(f"--hop must divide --fft (got {hop}, {nfft})",
+              file=sys.stderr)
+        return 2
+    block = hop * args.block_frames
+    overlap = nfft - hop
+    itemsize = 2 if args.format == "i16" else 4
+    hist = np.zeros(overlap, dtype=np.float32)
+
+    import jax
+    step = jax.jit(lambda a: mfcc(a, args.coeffs, nfft=nfft, hop=hop,
+                                  n_mels=args.mels, fs=args.rate))
+    feats = []
+    t0 = time.time()
+    nsamp = 0
+    pending: "deque" = deque()
+    ring = RingBuffer(1 << 22)
+    with FileSource(args.input, ring, chunk=1 << 16) as src:
+        while True:
+            raw = ring.pop_exact(block * itemsize, timeout=5.0)
+            if raw is None:
+                if (src.state != src.RUNNING
+                        and ring.readable < block * itemsize):
+                    break
+                continue
+            x = (i16_to_f32(raw.view(np.int16)) if args.format == "i16"
+                 else raw.view(np.float32))
+            xb = np.concatenate([hist, x])
+            hist = xb[-overlap:] if overlap else hist
+            pending.append(step(jnp.asarray(xb[None, :])))
+            nsamp += x.size
+            if len(pending) > 2:
+                feats.append(np.asarray(pending.popleft()[0]))
+    ring.close()
+    while pending:
+        feats.append(np.asarray(pending.popleft()[0]))
+    if not feats:
+        print("no complete blocks read", file=sys.stderr)
+        return 1
+    out = np.concatenate(feats, axis=0)  # (nframes, n_mfcc)
+    np.savez(args.output, mfcc=out, rate=args.rate, fft=nfft, hop=hop,
+             mels=args.mels)
+    dt = time.time() - t0
+    print(f"mfcc: {nsamp} samples -> {out.shape} features "
+          f"({nsamp/dt/1e6:.1f} Msamples/s wall)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="simpledsp_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -235,6 +290,18 @@ def main(argv=None) -> int:
     sp.add_argument("--order", type=int, default=8)
     sp.add_argument("--q", type=float, default=1.0)
 
+    sp = sub.add_parser("mfcc", help="streaming MFCC audio features")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--rate", type=float, required=True)
+    sp.add_argument("--format", choices=["i16", "f32"], default="i16")
+    sp.add_argument("--fft", type=int, default=512)
+    sp.add_argument("--hop", type=int, default=None)
+    sp.add_argument("--mels", type=int, default=64)
+    sp.add_argument("--coeffs", type=int, default=13)
+    sp.add_argument("--block-frames", type=int, default=256,
+                    help="hop-frames per device call")
+
     sub.add_parser("bench", help="run the headline benchmark")
 
     args = p.parse_args(argv)
@@ -244,6 +311,8 @@ def main(argv=None) -> int:
         return _cmd_rx(args, "am")
     if args.cmd == "spectra":
         return _cmd_spectra(args)
+    if args.cmd == "mfcc":
+        return _cmd_mfcc(args)
     if args.cmd == "bench":
         import bench
         bench.main()

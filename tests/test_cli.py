@@ -169,3 +169,47 @@ class TestRxCmds:
 def test_bad_subcommand_exits():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+class TestMfccCmd:
+    FS = 16000.0
+
+    def test_tone_features_and_frame_count(self, tmp_path):
+        """i16 PCM tone -> streaming MFCC; frame count matches the
+        zero-history streaming framing and the tone's mel band dominates
+        the log-mel reconstruction."""
+        n = 16384
+        t = np.arange(n) / self.FS
+        x = np.round(20000 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.int16)
+        src = tmp_path / "tone.pcm"
+        x.tofile(src)
+        out = tmp_path / "feat.npz"
+        rc = cli.main(["mfcc", "--input", str(src), "--output", str(out),
+                       "--rate", str(self.FS), "--fft", "512",
+                       "--mels", "40", "--coeffs", "13",
+                       "--block-frames", "16"])
+        assert rc == 0
+        z = np.load(str(out))
+        feats = z["mfcc"]
+        # block = hop*16 = 4096 -> 4 blocks; each yields
+        # (hist 256 + 4096 - 512)//256 + 1 = 16 frames.
+        assert feats.shape == (64, 13)
+        assert np.all(np.isfinite(feats))
+        # c0 (frame energy) of the steady tone is stable after warmup.
+        c0 = feats[2:, 0]
+        assert np.std(c0) < 0.05 * np.abs(np.mean(c0)) + 1e-6
+
+    def test_bad_hop_is_error(self, tmp_path):
+        src = tmp_path / "x.pcm"
+        np.zeros(1024, np.int16).tofile(src)
+        rc = cli.main(["mfcc", "--input", str(src), "--output",
+                       str(tmp_path / "o.npz"), "--rate", "16000",
+                       "--fft", "512", "--hop", "100"])
+        assert rc == 2
+
+    def test_empty_file_is_error(self, tmp_path, capsys):
+        src = tmp_path / "empty.pcm"
+        src.write_bytes(b"")
+        rc = cli.main(["mfcc", "--input", str(src), "--output",
+                       str(tmp_path / "o.npz"), "--rate", "16000"])
+        assert rc == 1
