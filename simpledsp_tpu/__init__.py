@@ -63,6 +63,14 @@ from simpledsp_tpu.ops.fir import (
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import convolve, correlate
+from simpledsp_tpu.ops.lfilter import (
+    BlockLFilter,
+    filtfilt,
+    freqz,
+    lfilter,
+    lfilter_scan,
+    lfilter_zi,
+)
 from simpledsp_tpu.ops.spectral import spectrogram_ri, welch_psd
 from simpledsp_tpu.ops.transforms import (
     analytic_ri,

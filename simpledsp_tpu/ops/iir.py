@@ -53,6 +53,7 @@ __all__ = [
     "sosfilt_scan",
     "BlockIIR",
     "block_operators_f64",
+    "block_operators_from_ss_f64",
     "sosfilt",
 ]
 
@@ -203,19 +204,19 @@ def _state_space_f64(design: BiquadCascadeDesign):
     return A, p, c, d
 
 
-def block_operators_f64(design: BiquadCascadeDesign, block_size: int):
-    """Host-side float64 block-condensation operators for a B-sample block.
+def block_operators_from_ss_f64(A: np.ndarray, p: np.ndarray,
+                                c: np.ndarray, d: float, block_size: int):
+    """Block-condensation operators for ANY one-step LTI quadruple
+    ``s' = A s + p x, y = c.s + d x`` (float64 host math).
 
-    Returns (H, Phi, K, F, A, p, c, d):
-      H   (B, B)  lower-triangular Toeplitz of the cascade impulse response
+    Returns (H, Phi, K, F):
+      H   (B, B)  lower-triangular Toeplitz of the impulse response
       Phi (B, D)  initial-state response of each in-block output
       K   (D, B)  input-to-final-state map
       F   (D, D)  B-step state transition A^B
-    plus the one-step LTI quadruple (A, p, c, d) with D = 2(M+1).
-    Shared by the single-device BlockIIR and the sequence-parallel
-    ShardedBlockIIR (parallel/iir.py).
+    Shared by the cascaded-biquad BlockIIR, the generic transfer-function
+    BlockLFilter (ops/lfilter.py), and the sequence-parallel forms.
     """
-    A, p, c, d = _state_space_f64(design)
     B = int(block_size)
     D = A.shape[0]
 
@@ -234,6 +235,16 @@ def block_operators_f64(design: BiquadCascadeDesign, block_size: int):
     Phi = np.stack([c @ powers[i] for i in range(B)])
     K = np.stack([powers[B - 1 - j] @ p for j in range(B)], axis=1)
     F = powers[B]
+    return H, Phi, K, F
+
+
+def block_operators_f64(design: BiquadCascadeDesign, block_size: int):
+    """Host-side float64 block-condensation operators for a B-sample block
+    of the biquad cascade (see :func:`block_operators_from_ss_f64`).
+
+    Returns (H, Phi, K, F, A, p, c, d) with D = 2(M+1)."""
+    A, p, c, d = _state_space_f64(design)
+    H, Phi, K, F = block_operators_from_ss_f64(A, p, c, d, block_size)
     return H, Phi, K, F, A, p, c, d
 
 
