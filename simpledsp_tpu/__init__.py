@@ -71,7 +71,15 @@ from simpledsp_tpu.ops.lfilter import (
     lfilter_scan,
     lfilter_zi,
 )
-from simpledsp_tpu.ops.spectral import spectrogram_ri, welch_psd
+from simpledsp_tpu.ops.spectral import (
+    coherence,
+    csd_ri,
+    istft_ri,
+    periodogram,
+    spectrogram_ri,
+    stft_ri,
+    welch_psd,
+)
 from simpledsp_tpu.ops.transforms import (
     analytic_ri,
     czt,

@@ -196,6 +196,73 @@ def test_spectrogram_tone_bin(rng):
     assert (mag[..., : n // 2].argmax(axis=-1) == 128).all()
 
 
+def test_csd_matches_scipy(rng):
+    import scipy.signal as sig
+    from simpledsp_tpu.ops.spectral import csd_ri
+    fs = 2000.0
+    t = np.arange(8192) / fs
+    x = np.sin(2 * np.pi * 97.0 * t) + 0.2 * rng.standard_normal(t.size)
+    y = (np.roll(np.sin(2 * np.pi * 97.0 * t), 11)
+         + 0.2 * rng.standard_normal(t.size) + 1.5)
+    f1, pr, pi = csd_ri(jnp.asarray(x), jnp.asarray(y), nfft=512, fs=fs)
+    f2, pxy = sig.csd(x, y, fs=fs, nperseg=512, noverlap=256)
+    np.testing.assert_allclose(f1, f2)
+    np.testing.assert_allclose(np.asarray(pr), pxy.real, rtol=1e-7,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pi), pxy.imag, rtol=1e-7,
+                               atol=1e-12)
+
+
+def test_coherence_matches_scipy(rng):
+    import scipy.signal as sig
+    from simpledsp_tpu.ops.spectral import coherence
+    fs = 1000.0
+    t = np.arange(16384) / fs
+    s = np.sin(2 * np.pi * 61.0 * t)
+    x = s + 0.5 * rng.standard_normal(t.size)
+    y = 0.7 * s + 0.5 * rng.standard_normal(t.size)
+    f1, c1 = coherence(jnp.asarray(x), jnp.asarray(y), nfft=256, fs=fs)
+    f2, c2 = sig.coherence(x, y, fs=fs, nperseg=256, noverlap=128)
+    np.testing.assert_allclose(f1, f2)
+    np.testing.assert_allclose(np.asarray(c1), c2, rtol=1e-7, atol=1e-10)
+    assert float(jnp.max(c1)) <= 1.0 + 1e-9
+
+
+def test_periodogram_matches_scipy(rng):
+    import scipy.signal as sig
+    from simpledsp_tpu.ops.spectral import periodogram
+    x = rng.standard_normal(3000) + 2.0
+    for window, nfft, detrend in (("boxcar", None, "constant"),
+                                  ("hann", 4096, "constant"),
+                                  ("hann", None, False)):
+        f1, p1 = periodogram(jnp.asarray(x), fs=100.0, window=window,
+                             nfft=nfft, detrend=detrend)
+        f2, p2 = sig.periodogram(x, fs=100.0, window=window, nfft=nfft,
+                                 detrend=detrend)
+        np.testing.assert_allclose(f1, f2)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-7,
+                                   atol=1e-12)
+
+
+def test_spectrogram_direct_matches_fft(rng):
+    """The windowed-DFT matmul route ('direct') must agree with the
+    four-step FFT route ('fft') bin-for-bin, one- and two-sided, with
+    window + detrend in play."""
+    from simpledsp_tpu.ops.spectral import spectrogram_ri
+    x = jnp.asarray(rng.standard_normal((3, 5000)))
+    for nfft, hop in ((256, 128), (250, 125), (1024, 1024)):
+        for onesided in (False, True):
+            d = spectrogram_ri(x, nfft=nfft, hop=hop, window="hann",
+                               detrend="constant", onesided=onesided,
+                               method="direct")
+            f = spectrogram_ri(x, nfft=nfft, hop=hop, window="hann",
+                               detrend="constant", onesided=onesided,
+                               method="fft")
+            for a, b in zip(d, f):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-9)
+
+
 def test_fft_1d_small_sizes(rng):
     """Regression: rank-1 input with N <= 128 (single dense-matmul path)."""
     for n in (16, 64, 128):
