@@ -19,8 +19,10 @@ from simpledsp_tpu.design.biquad import (
     bp_cutoff_freqs,
     design_bandpass,
     design_bandstop,
+    design_cheby1_lowpass,
     design_highpass,
     design_lowpass,
+    ba_coefficients,
     freq_response,
     group_delay,
     sos_matrix,
@@ -50,6 +52,7 @@ from simpledsp_tpu.ops.iir import (
     iir_preload,
     sosfilt,
     sosfilt_scan,
+    sosfiltfilt,
 )
 from simpledsp_tpu.ops.fir import (
     FIRFilter,
@@ -58,6 +61,7 @@ from simpledsp_tpu.ops.fir import (
     PolyphaseDecimator,
     PolyphaseInterpolator,
     PolyphaseResampler,
+    decimate,
     fir_filter,
     resample,
 )

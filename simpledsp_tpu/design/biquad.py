@@ -42,10 +42,12 @@ __all__ = [
     "design_highpass",
     "design_bandpass",
     "design_bandstop",
+    "design_cheby1_lowpass",
     "bp_cutoff_freqs",
     "freq_response",
     "group_delay",
     "sos_matrix",
+    "ba_coefficients",
 ]
 
 
@@ -265,6 +267,68 @@ def design_bandstop(m: int, f0: float, fs: float, q: float,
             f"band-stop section count {sos.shape[0]} != requested {m}")
     return BiquadCascadeDesign(b=b_rows, a=a_rows, gain=gain * scale,
                                ftype=FilterType.band_stop, f0=f0, fs=fs, q=q)
+
+
+def design_cheby1_lowpass(m: int, ripple_db: float, f0: float, fs: float,
+                          gain: float = 1.0) -> BiquadCascadeDesign:
+    """Chebyshev type-I low-pass of order 2M as M cascaded biquads.
+
+    Closed-form analog prototype + prewarped bilinear transform (all
+    float64 host math, no scipy):
+
+        eps   = sqrt(10^(rp/10) - 1)
+        mu    = asinh(1/eps) / n,      n = 2M
+        p_k   = wa (-sinh(mu) sin(th_k) + i cosh(mu) cos(th_k)),
+                th_k = (2k+1) pi / (2n),   wa = 2 fs tan(pi f0 / fs)
+        z_k   = (2 fs + p_k) / (2 fs - p_k)       (poles; zeros all at -1)
+
+    The even-order prototype is normalized so the PASSBAND RIPPLE TOP is
+    unity (DC gain 1/sqrt(1+eps^2)) — scipy.signal.cheby1's convention,
+    validated against it in tests to 1e-12.  f0 is the passband-edge
+    frequency (where the response leaves the ripple band), not -3 dB.
+
+    Extends the framework's Butterworth-only design layer (the reference
+    has no Chebyshev family); needed by :func:`ops.fir.decimate`, whose
+    scipy-parity anti-alias filter is cheby1(8, 0.05).
+    """
+    _check_args(m, f0, fs)
+    n = 2 * m
+    eps = math.sqrt(10.0 ** (ripple_db / 10.0) - 1.0)
+    mu = math.asinh(1.0 / eps) / n
+    wa = 2.0 * fs * math.tan(math.pi * f0 / fs)
+    fs2 = 2.0 * fs
+    # Left-half-plane prototype poles, scaled to the warped cutoff.
+    k_idx = np.arange(n, dtype=np.float64)
+    theta = (2.0 * k_idx + 1.0) * math.pi / (2.0 * n)
+    poles = wa * (-math.sinh(mu) * np.sin(theta)
+                  + 1j * math.cosh(mu) * np.cos(theta))
+    # Analog gain: unity ripple-top for even order.
+    k_analog = np.real(np.prod(-poles)) / math.sqrt(1.0 + eps * eps)
+    # Bilinear: digital poles; all n zeros at z = -1.
+    zp = (fs2 + poles) / (fs2 - poles)
+    k_digital = k_analog / np.real(np.prod(fs2 - poles))
+    # Pair conjugate poles (k and n-1-k) into biquads: b = (1, 2, 1).
+    b_rows = np.tile((1.0, 2.0, 1.0), (m, 1))
+    a_rows = np.empty((m, 3), dtype=np.float64)
+    for k in range(m):
+        a_rows[k] = (1.0, -2.0 * zp[k].real, abs(zp[k]) ** 2)
+    return BiquadCascadeDesign(b=b_rows, a=a_rows,
+                               gain=gain * float(k_digital),
+                               ftype=FilterType.low_pass, f0=f0, fs=fs)
+
+
+def ba_coefficients(design: BiquadCascadeDesign
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Expand the cascade into single (b, a) transfer-function polynomials
+    (float64 host math) for use with :func:`ops.lfilter.lfilter` /
+    `filtfilt`.  Fine up to order ~8-10; prefer the SOS form
+    (ops.iir.sosfilt) beyond that."""
+    b = np.array([design.gain])
+    a = np.array([1.0])
+    for k in range(design.nsections):
+        b = np.convolve(b, design.b[k])
+        a = np.convolve(a, design.a[k])
+    return b, a
 
 
 def _beta(dk: float, e: float) -> float:

@@ -41,6 +41,7 @@ __all__ = [
     "OverlapSaveFIR",
     "fir_filter",
     "resample",
+    "decimate",
 ]
 
 
@@ -301,3 +302,48 @@ def fir_filter(taps, x, state=None, *, method: str = "auto",
                            and x.shape[-1] % block_size == 0):
         return OverlapSaveFIR(taps, block_size=block_size, dtype=dtype)(x, state)
     return FIRFilter(taps, dtype=dtype)(x, state)
+
+
+def decimate(x: jnp.ndarray, q: int, *, n: Optional[int] = None,
+             ftype: str = "iir", zero_phase: bool = True) -> jnp.ndarray:
+    """Anti-alias filter then downsample by the integer factor ``q``
+    (scipy.signal.decimate semantics, parity-tested).
+
+    ftype='iir': order-``n`` (default 8, even) Chebyshev-I low-pass with
+    0.05 dB ripple at 0.8·(fs/2)/q (design.biquad.design_cheby1_lowpass),
+    run as the biquad cascade — zero-phase (ops.iir.sosfiltfilt) or causal
+    (ops.iir.sosfilt).
+    ftype='fir': ``n``+1-tap (default 20·q) Hamming-windowed sinc at
+    (fs/2)/q; zero_phase samples at the group-delay-compensated centers.
+
+    One-shot whole-signal op; for streaming decimation use
+    :class:`PolyphaseDecimator`.
+    """
+    if q < 1:
+        raise ValueError(f"q must be a positive integer, got {q}")
+    t = x.shape[-1]
+    nout = -(-t // q)
+    if ftype == "iir":
+        from simpledsp_tpu.design.biquad import design_cheby1_lowpass
+        from simpledsp_tpu.ops.iir import sosfilt, sosfiltfilt
+
+        n = 8 if n is None else n
+        if n < 2 or n % 2:
+            raise ValueError("iir decimate needs an even order n >= 2 "
+                             f"(biquad cascade), got {n}")
+        design = design_cheby1_lowpass(n // 2, 0.05, 0.8 / q, 2.0)
+        if zero_phase:
+            y = sosfiltfilt(design, x)
+        else:
+            y, _ = sosfilt(design, x)
+        return y[..., ::q]
+    if ftype == "fir":
+        from simpledsp_tpu.design.fir import lowpass_taps
+        from simpledsp_tpu.ops.conv import convolve
+
+        n = 20 * q if n is None else n
+        taps = lowpass_taps(n + 1, 1.0 / q, fs=2.0, window="hamming")
+        full = convolve(x, taps.astype(np.float64), "full")
+        start = n // 2 if zero_phase else 0
+        return full[..., start::q][..., :nout]
+    raise ValueError(f"unknown ftype {ftype!r} (use 'iir' or 'fir')")

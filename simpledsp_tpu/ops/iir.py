@@ -55,6 +55,7 @@ __all__ = [
     "block_operators_f64",
     "block_operators_from_ss_f64",
     "sosfilt",
+    "sosfiltfilt",
 ]
 
 
@@ -100,6 +101,17 @@ def iir_init(nsections: int, batch_shape: Tuple[int, ...] = (),
     return IIRState(jnp.zeros(batch_shape + (nsections + 1, 2), dtype=dtype))
 
 
+def _preload_levels_f64(design: BiquadCascadeDesign) -> np.ndarray:
+    """Per-node steady-state levels for a UNIT constant input: node 0 holds
+    the gain, node j the running product of section DC gains (float64)."""
+    v = design.gain
+    levels = [v]
+    for k in range(design.nsections):
+        v = v * design.b[k].sum() / design.a[k].sum()
+        levels.append(v)
+    return np.asarray(levels, dtype=np.float64)
+
+
 def iir_preload(design: BiquadCascadeDesign, value: float,
                 batch_shape: Tuple[int, ...] = (), dtype=jnp.float32) -> IIRState:
     """Steady-state preload: constant input `value` produces zero transient.
@@ -110,16 +122,20 @@ def iir_preload(design: BiquadCascadeDesign, value: float,
     it propagates — identical outcomes to the reference's special-casing,
     but one formula covers band-stop too.
     """
-    v = float(value) * design.gain
-    levels = [v]
-    for k in range(design.nsections):
-        suma = design.a[k].sum()
-        sumb = design.b[k].sum()
-        v = v * sumb / suma
-        levels.append(v)
-    hist = np.repeat(np.asarray(levels, dtype=np.float64)[:, None], 2, axis=1)
+    hist = np.repeat(float(value) * _preload_levels_f64(design)[:, None],
+                     2, axis=1)
     full = np.broadcast_to(hist, batch_shape + hist.shape)
     return IIRState(jnp.asarray(full, dtype=dtype))
+
+
+def _preload_from_values(design: BiquadCascadeDesign,
+                         values: jnp.ndarray) -> IIRState:
+    """Batched preload: steady state for per-signal constant inputs
+    ``values`` (...,) — scipy's ``zi * x[0]`` edge initialization."""
+    lev = jnp.asarray(_preload_levels_f64(design), dtype=values.dtype)
+    hist = values[..., None, None] * lev[:, None]       # (..., M+1, 1)
+    return IIRState(jnp.broadcast_to(
+        hist, values.shape + (design.nsections + 1, 2)))
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +365,44 @@ class BlockIIR:
     def operators(self):
         """(H, Phi, K, F) as jnp constants — used by the distributed path."""
         return self._H, self._Phi, self._K, self._F
+
+
+def sosfiltfilt(design: BiquadCascadeDesign, x: jnp.ndarray, *,
+                padlen: Optional[int] = None, method: str = "auto",
+                block_size: int = 256, dtype=None) -> jnp.ndarray:
+    """Zero-phase forward-backward cascade filtering
+    (scipy.signal.sosfiltfilt semantics: odd-reflection padding, per-edge
+    steady-state initialization via the preload machinery — the same
+    contract the reference's preload_filter establishes for one edge,
+    applied to both).  x: (..., T) -> (..., T)."""
+    m = design.nsections
+    nzero = min(int(np.sum(design.b[:, 2] == 0.0)),
+                int(np.sum(design.a[:, 2] == 0.0)))
+    if padlen is None:
+        padlen = 3 * (2 * m + 1 - nzero)
+    T = x.shape[-1]
+    if padlen >= T:
+        raise ValueError(f"padlen={padlen} must be less than the signal "
+                         f"length {T}")
+    dtype = dtype or x.dtype
+    x = x.astype(dtype)
+    if padlen > 0:
+        head = 2.0 * x[..., :1] - x[..., padlen:0:-1]
+        tail = 2.0 * x[..., -1:] - x[..., -2: -padlen - 2: -1]
+        ext = jnp.concatenate([head, x, tail], axis=-1)
+    else:
+        ext = x
+
+    def one_pass(sig):
+        s0 = _preload_from_values(design, sig[..., 0])
+        y, _ = sosfilt(design, sig, s0, method=method,
+                       block_size=block_size, dtype=dtype)
+        return y[..., ::-1]
+
+    y = one_pass(one_pass(ext))
+    if padlen > 0:
+        y = y[..., padlen:-padlen]
+    return y
 
 
 def sosfilt(design: BiquadCascadeDesign, x: jnp.ndarray,

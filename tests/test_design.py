@@ -231,3 +231,41 @@ class TestFirwinBands:
             highpass_taps(100, 8e3, fs=48e3)
         with pytest.raises(ValueError):
             bandstop_taps(100, 4e3, 9e3, fs=48e3)
+
+
+class TestCheby1:
+    @pytest.mark.parametrize("m,rp,wn", [(4, 0.05, 0.8 / 8), (4, 0.05, 0.4),
+                                         (2, 1.0, 0.1), (3, 0.5, 0.2),
+                                         (5, 3.0, 0.6)])
+    def test_matches_scipy_ba(self, m, rp, wn):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.biquad import (ba_coefficients,
+                                                 design_cheby1_lowpass)
+
+        d = design_cheby1_lowpass(m, rp, wn, 2.0)
+        b, a = ba_coefficients(d)
+        b2, a2 = ss.cheby1(2 * m, rp, wn)
+        np.testing.assert_allclose(b, b2, atol=1e-14)
+        np.testing.assert_allclose(a, a2, atol=1e-12)
+
+    def test_impulse_response_gate(self):
+        """Same 1e-12 impulse-response gate the golden fixtures use."""
+        import scipy.signal as ss
+        from simpledsp_tpu.design.biquad import (design_cheby1_lowpass,
+                                                 sos_matrix)
+
+        d = design_cheby1_lowpass(4, 0.05, 3000.0, 39000.0)
+        imp = np.zeros(1000)
+        imp[0] = 1.0
+        got = ss.sosfilt(sos_matrix(d), imp)
+        want = ss.sosfilt(
+            ss.cheby1(8, 0.05, 3000.0, fs=39000.0, output="sos"), imp)
+        assert np.max(np.abs(got - want)) < 1e-12
+
+    def test_rejects_bad_args(self):
+        from simpledsp_tpu.design.biquad import design_cheby1_lowpass
+
+        with pytest.raises(ValueError):
+            design_cheby1_lowpass(0, 0.05, 0.1, 2.0)
+        with pytest.raises(ValueError):
+            design_cheby1_lowpass(4, 0.05, 1.5, 2.0)

@@ -163,3 +163,31 @@ class TestFourierResample:
             resample(jnp.asarray(np.ones(8, dtype=np.complex128)), 4)
         with pytest.raises(ValueError):
             resample(jnp.asarray(np.ones(8)), 0)
+
+
+class TestDecimate:
+    @pytest.mark.parametrize("q", [2, 4, 13])
+    @pytest.mark.parametrize("ftype", ["iir", "fir"])
+    @pytest.mark.parametrize("zero_phase", [True, False])
+    def test_matches_scipy(self, rng, q, ftype, zero_phase):
+        import scipy.signal as ss
+        from simpledsp_tpu.ops.fir import decimate
+
+        x = rng.standard_normal((2, 1000))
+        got = np.asarray(decimate(jnp.asarray(x), q, ftype=ftype,
+                                  zero_phase=zero_phase))
+        ref = ss.decimate(x, q, ftype=ftype, zero_phase=zero_phase,
+                          axis=-1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-11)
+
+    def test_rejects_bad_args(self, rng):
+        from simpledsp_tpu.ops.fir import decimate
+
+        x = jnp.asarray(rng.standard_normal(100))
+        with pytest.raises(ValueError):
+            decimate(x, 0)
+        with pytest.raises(ValueError):
+            decimate(x, 2, n=7, ftype="iir")
+        with pytest.raises(ValueError):
+            decimate(x, 2, ftype="cic")

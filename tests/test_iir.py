@@ -177,3 +177,29 @@ def test_sosfilt_convenience_paths_agree():
     y_scan, _ = sosfilt(design, x, method="scan")
     y_block, _ = sosfilt(design, x, method="block", dtype=jnp.float64)
     assert np.max(np.abs(np.asarray(y_scan) - np.asarray(y_block))) < 1e-11
+
+
+def test_sosfiltfilt_matches_scipy():
+    """Zero-phase forward-backward cascade vs scipy.signal.sosfiltfilt
+    (same padding + steady-state edge init), LP/HP/BP designs."""
+    from simpledsp_tpu.design import design_bandpass, design_lowpass
+    from simpledsp_tpu.design.biquad import sos_matrix
+    from simpledsp_tpu.ops.iir import sosfiltfilt
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3000)) + 1.5
+    for design in (design_lowpass(M, 2000.0, FS),
+                   design_highpass(M, 2000.0, FS),
+                   design_bandpass(M, 2000.0, FS, 1.4)):
+        got = np.asarray(sosfiltfilt(design, jnp.asarray(x)))
+        want = sig.sosfiltfilt(sos_matrix(design), x, axis=-1)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_sosfiltfilt_rejects_long_padlen():
+    from simpledsp_tpu.design import design_lowpass
+    from simpledsp_tpu.ops.iir import sosfiltfilt
+
+    design = design_lowpass(M, 2000.0, FS)
+    with pytest.raises(ValueError):
+        sosfiltfilt(design, jnp.asarray(np.ones(10)))
