@@ -96,6 +96,13 @@ from simpledsp_tpu.ops.transforms import (
     zoom_fft,
     zoom_fft_ri,
 )
+from simpledsp_tpu.ops.waveforms import (
+    chirp,
+    gausspulse,
+    sawtooth,
+    square,
+    unit_impulse,
+)
 from simpledsp_tpu.ops.demod import (
     am_demod,
     am_demod_ri,
