@@ -40,8 +40,14 @@ from simpledsp_tpu.ops.fft import (
     fft_radix2,
     fft_radix4,
     fft_ri,
+    fft2,
+    fft2_ri,
     ifft,
     ifft_ri,
+    ifft2,
+    ifft2_ri,
+    irfft2_ri,
+    rfft2_ri,
 )
 from simpledsp_tpu.ops.iir import (
     BlockIIR,
@@ -67,6 +73,7 @@ from simpledsp_tpu.ops.fir import (
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import convolve, correlate
+from simpledsp_tpu.ops.conv2d import convolve2d, correlate2d
 from simpledsp_tpu.ops.lfilter import (
     BlockLFilter,
     filtfilt,

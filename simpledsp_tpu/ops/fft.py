@@ -42,7 +42,9 @@ import numpy as np
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft_ri", "ifft_ri",
            "rfft_ri", "irfft_ri", "pack_rfft_ri", "unpack_rfft_ri",
-           "fft_radix2", "fft_radix4", "dft_matrix"]
+           "fft_radix2", "fft_radix4", "dft_matrix",
+           "fft2", "ifft2", "fft2_ri", "ifft2_ri", "rfft2_ri",
+           "irfft2_ri"]
 
 # Largest size computed as one dense DFT matmul.  128 keeps the operand a
 # (128, 128) MXU-native tile; 4096 = 64*64 -> one recursion level.
@@ -349,3 +351,60 @@ def irfft(x: jnp.ndarray, n: Optional[int] = None, *,
     spectrum (half-size packed inverse for even n)."""
     rdt = _pick_real_dtype(x, dtype)
     return irfft_ri(jnp.real(x).astype(rdt), jnp.imag(x).astype(rdt), n)
+
+
+# ---------------------------------------------------------------------------
+# 2-D transforms: the four-step engine applied per axis.  The inter-axis
+# "permutation" is a single XLA transpose, exactly like step 4 of the 1-D
+# factorization — nothing new is needed on TPU.
+# ---------------------------------------------------------------------------
+
+def fft2_ri(xr: jnp.ndarray, xi: jnp.ndarray
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D FFT over the last two axes, (re, im) planes in and out
+    (numpy.fft.fft2 semantics; arbitrary sizes via Bluestein)."""
+    yr, yi = fft_ri(xr, xi)
+    yr, yi = fft_ri(jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2))
+    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+
+
+def ifft2_ri(xr: jnp.ndarray, xi: jnp.ndarray
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse 2-D FFT over the last two axes, (re, im) planes."""
+    yr, yi = ifft_ri(xr, xi)
+    yr, yi = ifft_ri(jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2))
+    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+
+
+def rfft2_ri(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D FFT of a REAL array over the last two axes: half spectrum on
+    the LAST axis (numpy.fft.rfft2 layout, (..., H, W//2+1) bins), rows
+    through the half-cost packed transform."""
+    yr, yi = rfft_ri(x)
+    yr, yi = fft_ri(jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2))
+    return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+
+
+def irfft2_ri(xr: jnp.ndarray, xi: jnp.ndarray,
+              w: Optional[int] = None) -> jnp.ndarray:
+    """Inverse of :func:`rfft2_ri`: real (..., H, w) array from the
+    (..., H, W//2+1) half-spectrum planes.  ``w`` defaults to
+    2*(bins-1) (numpy.fft.irfft2's last-axis rule)."""
+    yr, yi = ifft_ri(jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2))
+    return irfft_ri(jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2), w)
+
+
+def fft2(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """Complex-dtype convenience wrapper over :func:`fft2_ri` (host/CPU
+    use; on the TPU tunnel complex arrays cannot be DMA'd — use the RI
+    planes)."""
+    rdt = _pick_real_dtype(x, dtype)
+    yr, yi = fft2_ri(*_as_ri(x, rdt))
+    return jax.lax.complex(yr, yi)
+
+
+def ifft2(x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    """Complex-dtype convenience wrapper over :func:`ifft2_ri`."""
+    rdt = _pick_real_dtype(x, dtype)
+    yr, yi = ifft2_ri(*_as_ri(x, rdt))
+    return jax.lax.complex(yr, yi)
