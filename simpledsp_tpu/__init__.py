@@ -103,6 +103,14 @@ from simpledsp_tpu.ops.transforms import (
     zoom_fft,
     zoom_fft_ri,
 )
+from simpledsp_tpu.ops.smooth import (
+    detrend,
+    medfilt,
+    medfilt2d,
+    savgol_coeffs,
+    savgol_filter,
+    wiener,
+)
 from simpledsp_tpu.ops.waveforms import (
     chirp,
     gausspulse,
