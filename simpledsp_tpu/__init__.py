@@ -30,6 +30,7 @@ from simpledsp_tpu.design.biquad import (
 from simpledsp_tpu.design.fir import (
     bandpass_taps,
     bandstop_taps,
+    firwin2,
     highpass_taps,
     lowpass_taps,
     pfb_prototype_taps,
@@ -70,6 +71,7 @@ from simpledsp_tpu.ops.fir import (
     decimate,
     fir_filter,
     resample,
+    resample_poly,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import convolve, correlate

@@ -11,11 +11,13 @@ binary (reference: include/sdsp/fft.h:264-265).
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import numpy as np
 
 __all__ = [
     "lowpass_taps",
+    "firwin2",
     "highpass_taps",
     "bandpass_taps",
     "bandstop_taps",
@@ -164,3 +166,73 @@ def pfb_prototype_taps(num_channels: int, taps_per_channel: int = 16,
     num_taps = num_channels * taps_per_channel
     fc = 0.5 / num_channels
     return lowpass_taps(num_taps, fc, fs=1.0, atten_db=atten_db)
+
+
+def firwin2(num_taps: int, freq, gain, *,
+            nfreqs: Optional[int] = None,
+            window: str = "hamming", antisymmetric: bool = False
+            ) -> np.ndarray:
+    """Frequency-sampled FIR design (scipy.signal.firwin2 semantics):
+    linear-phase taps whose magnitude response tracks the piecewise-linear
+    (freq, gain) spec, freq normalized to Nyquist = 1.  A frequency may be
+    repeated once to encode a step discontinuity.  ``antisymmetric``
+    selects the type-III/IV (odd-symmetric) families for differentiators
+    and Hilbert transformers.  Host float64; validated against scipy.
+    """
+    freq = np.asarray(freq, dtype=np.float64).copy()
+    gain = np.asarray(gain, dtype=np.float64)
+    if freq.ndim != 1 or freq.shape != gain.shape:
+        raise ValueError("freq and gain must be 1-D of equal length")
+    if freq[0] != 0.0 or freq[-1] != 1.0:
+        raise ValueError("freq must start at 0 and end at 1 (Nyquist)")
+    d = np.diff(freq)
+    if (d < 0).any():
+        raise ValueError("freq must be nondecreasing")
+    if num_taps < 3:
+        raise ValueError("num_taps must be >= 3")
+    # Linear-phase type constraints (zeros forced at band edges).
+    ftype = (3 if num_taps % 2 else 4) if antisymmetric else \
+        (1 if num_taps % 2 else 2)
+    if ftype == 2 and gain[-1] != 0.0:
+        raise ValueError("even num_taps (type II) forces zero gain at "
+                         "Nyquist — end the spec with gain 0")
+    if ftype == 3 and (gain[0] != 0.0 or gain[-1] != 0.0):
+        raise ValueError("odd antisymmetric taps (type III) force zero "
+                         "gain at 0 and Nyquist")
+    if ftype == 4 and gain[0] != 0.0:
+        raise ValueError("even antisymmetric taps (type IV) force zero "
+                         "gain at DC")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(math.ceil(math.log2(num_taps)))
+    if num_taps >= nfreqs:
+        raise ValueError("nfreqs must exceed num_taps")
+    # A repeated frequency encodes a step: nudge the pair apart by eps so
+    # the interpolation grid sees both values (scipy's rule).
+    eps = np.finfo(np.float64).eps
+    dup = np.nonzero(d == 0.0)[0]
+    if dup.size and (np.diff(dup) == 1).any():
+        raise ValueError("a frequency may be repeated at most once")
+    for k in dup:
+        freq[k] = freq[k] - eps * (k + 1)
+        freq[k + 1] = freq[k + 1] + eps * (k + 1)
+    if (np.diff(freq) <= 0).any():
+        raise ValueError("a frequency may be repeated at most once")
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, freq, gain)
+    shift = np.exp(-(num_taps - 1) / 2.0 * 1j * np.pi * x)
+    if ftype > 2:
+        shift *= 1j
+    out_full = np.fft.irfft(fx * shift)
+    taps = out_full[:num_taps] * _window_taps_sym(window, num_taps)
+    if ftype == 3:
+        taps[num_taps // 2] = 0.0
+    return taps
+
+
+def _window_taps_sym(window, num_taps: int) -> np.ndarray:
+    """Symmetric (filter-design) window, scipy get_window spec or None."""
+    if window is None:
+        return np.ones(num_taps)
+    import scipy.signal as _sig
+
+    return _sig.get_window(window, num_taps, fftbins=False)

@@ -347,3 +347,78 @@ def decimate(x: jnp.ndarray, q: int, *, n: Optional[int] = None,
         start = n // 2 if zero_phase else 0
         return full[..., start::q][..., :nout]
     raise ValueError(f"unknown ftype {ftype!r} (use 'iir' or 'fir')")
+
+
+def resample_poly(x: jnp.ndarray, up: int, down: int, *,
+                  window="kaiser_5.0", padtype: str = "constant"
+                  ) -> jnp.ndarray:
+    """Polyphase rational-rate resampling (scipy.signal.resample_poly
+    semantics, parity-tested): anti-alias taps designed host-side
+    (default: 20*max(up,down)+1-tap Kaiser beta=5.0 windowed sinc at
+    1/max(up,down) of Nyquist), group delay compensated so y[0] aligns
+    with x[0], output length ceil(T*up/down).
+
+    window: the default marker, a scipy get_window spec (e.g. 'hamming',
+    ('kaiser', 8.0)), or an explicit 1-D tap array.  padtype: 'constant'
+    (zero extension) or 'mean'/'median'/'minimum'/'maximum' (subtract
+    the statistic, filter, add back).
+
+    One-shot whole-signal op over the streaming
+    :class:`PolyphaseResampler` engine (strided XLA convs on device).
+    """
+    import math as _math
+
+    g = _math.gcd(int(up), int(down))
+    up, down = int(up) // g, int(down) // g
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    if up == down == 1:
+        return x
+    t = x.shape[-1]
+    n_out = (t * up) // down + bool((t * up) % down)
+
+    if isinstance(window, (np.ndarray, list, tuple)) and not (
+            isinstance(window, tuple) and isinstance(window[0], str)):
+        h = np.asarray(window, dtype=np.float64)
+        if h.ndim != 1:
+            raise ValueError("window taps must be 1-D")
+        half_len = (h.size - 1) // 2
+    else:
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        n = 2 * half_len + 1
+        m = np.arange(n, dtype=np.float64) - half_len
+        fc = 1.0 / max_rate                      # relative to Nyquist
+        h = fc * np.sinc(fc * m)
+        if window == "kaiser_5.0":
+            w = np.kaiser(n, 5.0)
+        else:
+            import scipy.signal as _sig
+            w = _sig.get_window(window, n, fftbins=False)
+        h = h * w
+        h = h / h.sum()
+    h = h * up
+
+    funcs = {"mean": jnp.mean, "median": jnp.median,
+             "minimum": jnp.min, "maximum": jnp.max}
+    background = None
+    if padtype in funcs:
+        background = funcs[padtype](x, axis=-1, keepdims=True)
+        x = x - background
+    elif padtype != "constant":
+        raise ValueError(f"unsupported padtype {padtype!r} (use 'constant',"
+                         " 'mean', 'median', 'minimum', or 'maximum')")
+
+    # Center the output grid on the filter's group delay: pre-pad the taps
+    # so the first kept output lands exactly on x[0] (scipy's rule).
+    n_pre_pad = down - half_len % down
+    n_pre_remove = (half_len + n_pre_pad) // down
+    hp = np.concatenate([np.zeros(n_pre_pad), h])
+    need = n_pre_remove + n_out
+    t_dev = down * (-(-need // up))              # covers `need` outputs
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, max(0, t_dev - t))]
+    y, _ = PolyphaseResampler(hp, up, down, dtype=x.dtype)(jnp.pad(x, pad))
+    y = y[..., n_pre_remove: n_pre_remove + n_out]
+    if background is not None:
+        y = y + background
+    return y

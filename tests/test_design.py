@@ -269,3 +269,38 @@ class TestCheby1:
             design_cheby1_lowpass(0, 0.05, 0.1, 2.0)
         with pytest.raises(ValueError):
             design_cheby1_lowpass(4, 0.05, 1.5, 2.0)
+
+
+class TestFirwin2:
+    @pytest.mark.parametrize("nt,f,g,kw", [
+        (65, [0, 0.3, 0.3, 1], [1, 1, 0, 0], {}),
+        (64, [0, 0.5, 1], [1, 1, 0], {}),
+        (101, [0, 0.5, 1], [0, 1, 0], {"antisymmetric": True}),
+        (100, [0, 0.5, 1], [0, 1, 1], {"antisymmetric": True}),
+        (33, [0, 0.2, 0.8, 1], [0, 1, 0.5, 0], {"window": "blackman"}),
+        (65, [0, 1], [1, 1], {"window": None}),
+    ])
+    def test_matches_scipy(self, nt, f, g, kw):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.fir import firwin2
+
+        got = firwin2(nt, f, g, **kw)
+        want = ss.firwin2(nt, f, g, **kw)
+        np.testing.assert_allclose(got, want, atol=1e-15)
+
+    def test_rejects_bad_specs(self):
+        from simpledsp_tpu.design.fir import firwin2
+
+        with pytest.raises(ValueError):
+            firwin2(65, [0, 0.5], [1, 1])           # must end at 1
+        with pytest.raises(ValueError):
+            firwin2(64, [0, 1], [1, 1])             # type II, Nyquist != 0
+        with pytest.raises(ValueError):
+            firwin2(101, [0, 1], [1, 0],
+                    antisymmetric=True)             # type III, DC != 0
+        with pytest.raises(ValueError):
+            firwin2(65, [0, 0.5, 0.4, 1], [1, 1, 0, 0])  # decreasing
+        with pytest.raises(ValueError):
+            firwin2(65, [0, .3, .3, .3, 1], [1, 1, 1, 0, 0])  # tripled
+        with pytest.raises(ValueError):
+            firwin2(65, [0, 1], [1, 0], nfreqs=33)  # num_taps >= nfreqs

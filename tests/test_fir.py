@@ -191,3 +191,47 @@ class TestDecimate:
             decimate(x, 2, n=7, ftype="iir")
         with pytest.raises(ValueError):
             decimate(x, 2, ftype="cic")
+
+
+class TestResamplePoly:
+    @pytest.mark.parametrize("up,down", [(2, 1), (1, 3), (3, 2), (7, 5),
+                                         (160, 441)])
+    @pytest.mark.parametrize("t", [1000, 997])
+    def test_matches_scipy(self, rng, up, down, t):
+        import scipy.signal as ss
+        from simpledsp_tpu.ops.fir import resample_poly
+
+        x = rng.standard_normal((2, t)) + 2.0
+        got = np.asarray(resample_poly(jnp.asarray(x), up, down))
+        want = ss.resample_poly(x, up, down, axis=-1)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_padtypes_window_and_taps(self, rng):
+        import scipy.signal as ss
+        from simpledsp_tpu.ops.fir import resample_poly
+
+        x = rng.standard_normal(800) + 3.0
+        for padtype in ("mean", "median", "minimum", "maximum"):
+            got = np.asarray(resample_poly(jnp.asarray(x), 3, 2,
+                                           padtype=padtype))
+            want = ss.resample_poly(x, 3, 2, padtype=padtype)
+            np.testing.assert_allclose(got, want, atol=1e-12)
+        got = np.asarray(resample_poly(jnp.asarray(x), 2, 3,
+                                       window="hamming"))
+        want = ss.resample_poly(x, 2, 3, window="hamming")
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        taps = ss.firwin(31, 0.4)
+        got = np.asarray(resample_poly(jnp.asarray(x), 2, 3, window=taps))
+        want = ss.resample_poly(x, 2, 3, window=taps)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_identity_and_errors(self, rng):
+        from simpledsp_tpu.ops.fir import resample_poly
+
+        x = jnp.asarray(rng.standard_normal(64))
+        assert resample_poly(x, 3, 3) is x
+        with pytest.raises(ValueError):
+            resample_poly(x, 2, 3, padtype="wrap")
+        with pytest.raises(ValueError):
+            resample_poly(x, 2, 3, window=np.ones((3, 3)))
