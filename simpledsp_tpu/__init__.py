@@ -20,6 +20,7 @@ from simpledsp_tpu.design.biquad import (
     design_bandpass,
     design_bandstop,
     design_cheby1_lowpass,
+    design_cheby2_lowpass,
     design_highpass,
     design_lowpass,
     ba_coefficients,

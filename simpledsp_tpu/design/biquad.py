@@ -43,6 +43,7 @@ __all__ = [
     "design_bandpass",
     "design_bandstop",
     "design_cheby1_lowpass",
+    "design_cheby2_lowpass",
     "bp_cutoff_freqs",
     "freq_response",
     "group_delay",
@@ -311,6 +312,48 @@ def design_cheby1_lowpass(m: int, ripple_db: float, f0: float, fs: float,
     b_rows = np.tile((1.0, 2.0, 1.0), (m, 1))
     a_rows = np.empty((m, 3), dtype=np.float64)
     for k in range(m):
+        a_rows[k] = (1.0, -2.0 * zp[k].real, abs(zp[k]) ** 2)
+    return BiquadCascadeDesign(b=b_rows, a=a_rows,
+                               gain=gain * float(k_digital),
+                               ftype=FilterType.low_pass, f0=f0, fs=fs)
+
+
+def design_cheby2_lowpass(m: int, atten_db: float, f0: float, fs: float,
+                          gain: float = 1.0) -> BiquadCascadeDesign:
+    """Chebyshev type-II (inverse Chebyshev) low-pass of order 2M as M
+    cascaded biquads: maximally flat passband, equiripple stopband at
+    least ``atten_db`` down past the stopband-edge frequency ``f0``
+    (scipy.signal.cheby2's convention).
+
+    Closed-form analog prototype + prewarped bilinear (host float64, no
+    scipy): prototype poles are the reciprocals of the Chebyshev-I
+    layout, zeros sit on the imaginary axis at j/cos(th_k); finite zeros
+    give each section a non-trivial (1, b1, 1) numerator, unlike the
+    all-(1,2,1) Butterworth/Cheby-I families.  Validated against
+    scipy.signal.cheby2 to 1e-12 in tests.
+    """
+    _check_args(m, f0, fs)
+    n = 2 * m
+    de = 1.0 / math.sqrt(10.0 ** (atten_db / 10.0) - 1.0)
+    mu = math.asinh(1.0 / de) / n
+    k_idx = np.arange(n, dtype=np.float64)
+    theta = (2.0 * k_idx + 1.0) * math.pi / (2.0 * n)
+    poles = 1.0 / (-math.sinh(mu) * np.sin(theta)
+                   + 1j * math.cosh(mu) * np.cos(theta))
+    zeros = 1j / np.cos(theta)                    # all finite for even n
+    k_analog = np.real(np.prod(-poles) / np.prod(-zeros))
+    wa = 2.0 * fs * math.tan(math.pi * f0 / fs)
+    poles = poles * wa
+    zeros = zeros * wa
+    fs2 = 2.0 * fs
+    zp = (fs2 + poles) / (fs2 - poles)
+    zz = (fs2 + zeros) / (fs2 - zeros)
+    k_digital = k_analog * np.real(np.prod(fs2 - zeros)
+                                   / np.prod(fs2 - poles))
+    b_rows = np.empty((m, 3), dtype=np.float64)
+    a_rows = np.empty((m, 3), dtype=np.float64)
+    for k in range(m):
+        b_rows[k] = (1.0, -2.0 * zz[k].real, abs(zz[k]) ** 2)
         a_rows[k] = (1.0, -2.0 * zp[k].real, abs(zp[k]) ** 2)
     return BiquadCascadeDesign(b=b_rows, a=a_rows,
                                gain=gain * float(k_digital),

@@ -304,3 +304,29 @@ class TestFirwin2:
             firwin2(65, [0, .3, .3, .3, 1], [1, 1, 1, 0, 0])  # tripled
         with pytest.raises(ValueError):
             firwin2(65, [0, 1], [1, 0], nfreqs=33)  # num_taps >= nfreqs
+
+
+class TestCheby2:
+    @pytest.mark.parametrize("m,rs,wn", [(4, 40.0, 0.3), (2, 60.0, 0.1),
+                                         (5, 30.0, 0.7), (3, 80.0, 0.45)])
+    def test_matches_scipy_ba(self, m, rs, wn):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.biquad import (ba_coefficients,
+                                                 design_cheby2_lowpass)
+
+        d = design_cheby2_lowpass(m, rs, wn, 2.0)
+        b, a = ba_coefficients(d)
+        b2, a2 = ss.cheby2(2 * m, rs, wn)
+        np.testing.assert_allclose(b, b2, atol=1e-12)
+        np.testing.assert_allclose(a, a2, atol=1e-12)
+
+    def test_stopband_attenuation_holds(self):
+        import scipy.signal as ss
+        from simpledsp_tpu.design.biquad import (design_cheby2_lowpass,
+                                                 sos_matrix)
+
+        d = design_cheby2_lowpass(4, 50.0, 6000.0, 48000.0)
+        w, h = ss.sosfreqz(sos_matrix(d), worN=4096, fs=48000.0)
+        stop = w >= 6000.0
+        assert np.max(20 * np.log10(np.abs(h[stop]) + 1e-300)) <= -50.0 + 1e-6
+        assert abs(abs(h[0]) - 1.0) < 1e-12
