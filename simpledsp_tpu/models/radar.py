@@ -24,7 +24,7 @@ capability; this is net-new breadth built entirely on ops/ primitives
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
