@@ -238,21 +238,20 @@ def design_bandstop(m: int, f0: float, fs: float, q: float,
     """Butterworth band-stop (notch) of order 2M — net-new vs the reference
     (its README lists band-stop as TODO).
 
-    Derived via scipy-equivalent analog prototype + bilinear transform, then
-    normalized to the cascade convention used here (b0 == 1 absorbed into the
-    single input gain).  Cross-validated against scipy.signal.butter(...,
-    'bandstop') in tests.
+    Derived via the framework's own analog prototype + bilinear transform
+    pipeline (design.iir), then normalized to the cascade convention used
+    here (b0 == 1 absorbed into the single input gain).  Cross-validated
+    against scipy.signal.butter(..., 'bandstop') in tests.
     """
     _check_args(m, f0, fs, need_even=True)
-    import scipy.signal as sig
+    from simpledsp_tpu.design import iir as _iir
 
     # Band edges: width f0/q, centered so the bilinear-transform notch lands
     # exactly at f0 (shared solver; reference: findIIRCutoffFreq.m).
     f1, f2 = bp_cutoff_freqs(f0, q, fs)
-    # scipy butter(N, 'bandstop') yields a 2N-pole filter -> N biquads, so
+    # butter(N, 'bandstop') yields a 2N-pole filter -> N biquads, so
     # N == m gives exactly m sections (order 2m, matching the BP convention).
-    z, p, kz = sig.butter(m, [f1, f2], btype="bandstop", fs=fs, output="zpk")
-    sos = sig.zpk2sos(z, p, kz)
+    sos = _iir.butter(m, (f1, f2), btype="bandstop", fs=fs, output="sos")
     b_rows = np.empty((sos.shape[0], 3), dtype=np.float64)
     a_rows = np.empty((sos.shape[0], 3), dtype=np.float64)
     scale = 1.0
