@@ -37,6 +37,7 @@ from simpledsp_tpu.design.fir import (
     pfb_prototype_taps,
     resampler_taps,
 )
+from simpledsp_tpu.design.windows import get_window, kaiserord
 from simpledsp_tpu.ops.fft import (
     fft,
     fft_radix2,

@@ -230,9 +230,10 @@ def firwin2(num_taps: int, freq, gain, *,
 
 
 def _window_taps_sym(window, num_taps: int) -> np.ndarray:
-    """Symmetric (filter-design) window, scipy get_window spec or None."""
+    """Symmetric (filter-design) window, get_window spec or None — served
+    by the framework's own window library (design/windows.py)."""
     if window is None:
         return np.ones(num_taps)
-    import scipy.signal as _sig
+    from .windows import get_window
 
-    return _sig.get_window(window, num_taps, fftbins=False)
+    return get_window(window, num_taps, fftbins=False)

@@ -22,15 +22,17 @@ __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
            "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram"]
 
 
-def window_taps(kind: str, n: int) -> np.ndarray:
+def window_taps(kind, n: int) -> np.ndarray:
     """Host-side analysis window, PERIODIC form (float64) — the spectral-
     analysis convention (scipy.signal.get_window default), not the
-    symmetric filter-design form."""
-    if kind in ("rect", "boxcar", "none"):
+    symmetric filter-design form.  Served by the framework's own window
+    library (design/windows.py); accepts the full get_window spec (name,
+    (name, arg) tuple, or kaiser-beta float)."""
+    if kind in ("rect", "none"):
         return np.ones(n)
-    import scipy.signal as sig
+    from ..design.windows import get_window
 
-    return sig.get_window(kind, n, fftbins=True).astype(np.float64)
+    return get_window(kind, n, fftbins=True).astype(np.float64)
 
 
 def _detrend_frames(frames: jnp.ndarray, detrend) -> jnp.ndarray:

@@ -1,0 +1,134 @@
+"""Optimal FIR design (remez / firls / minimum_phase) vs scipy oracle.
+
+Equiripple solutions are unique, so independent implementations must agree
+tap-for-tap up to numerical tolerance; least-squares likewise (unique
+quadratic minimum).
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+from simpledsp_tpu.design.optimal_fir import firls, minimum_phase, remez
+
+
+def _ripple_db(h, bands_pass, bands_stop, n=8192):
+    w, resp = sig.freqz(h, worN=n)
+    f = w / np.pi / 2
+    out = []
+    for lo, hi in bands_pass:
+        m = (f >= lo) & (f <= hi)
+        out.append(np.abs(np.abs(resp[m]) - 1).max())
+    for lo, hi in bands_stop:
+        m = (f >= lo) & (f <= hi)
+        out.append(np.abs(resp[m]).max())
+    return out
+
+
+@pytest.mark.parametrize("numtaps", [33, 64, 101])
+def test_remez_lowpass_matches_scipy(numtaps):
+    bands, desired = [0, 0.18, 0.24, 0.5], [1, 0]
+    ours = remez(numtaps, bands, desired)
+    ref = sig.remez(numtaps, bands, desired, fs=1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_remez_multiband_weighted():
+    bands = [0, 0.08, 0.12, 0.2, 0.25, 0.34, 0.38, 0.5]
+    desired = [1, 0, 1, 0]
+    weight = [1, 10, 1, 10]
+    ours = remez(85, bands, desired, weight=weight)
+    ref = sig.remez(85, bands, desired, weight=weight, fs=1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_remez_fs_scaling():
+    fs = 48000.0
+    ours = remez(51, [0, 6000, 9000, 24000], [1, 0], fs=fs)
+    ref = sig.remez(51, [0, 6000, 9000, 24000], [1, 0], fs=fs)
+    np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_remez_hilbert():
+    # Odd-symmetric (type III) midband Hilbert transformer.
+    ours = remez(65, [0.03, 0.47], [1], ftype="hilbert")
+    ref = sig.remez(65, [0.03, 0.47], [1], type="hilbert", fs=1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+    # Antisymmetry.
+    np.testing.assert_allclose(ours, -ours[::-1], atol=1e-12)
+
+
+def test_remez_differentiator():
+    ours = remez(64, [0, 0.4], [1], ftype="differentiator")
+    ref = sig.remez(64, [0, 0.4], [1], type="differentiator", fs=1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_remez_equiripple_property():
+    # The defining property, checked directly: passband and stopband
+    # ripples in the 1:1-weighted design are equal to ~4 digits.
+    h = remez(73, [0, 0.2, 0.26, 0.5], [1, 0])
+    rp, rs = _ripple_db(h, [(0, 0.2)], [(0.26, 0.5)])
+    assert abs(rp - rs) / rs < 1e-3
+    assert rs < 10 ** (-40 / 20)  # a 73-tap design clears 40 dB easily
+
+
+def test_remez_validation_errors():
+    with pytest.raises(ValueError):
+        remez(0, [0, 0.5], [1])
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.3, 0.2, 0.5], [1, 0])  # non-monotonic
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.2, 0.3, 0.5], [1])  # desired count
+    with pytest.raises(ValueError):
+        remez(31, [0, 0.5], [1], ftype="nope")
+
+
+@pytest.mark.parametrize("numtaps", [31, 101])
+def test_firls_matches_scipy(numtaps):
+    bands = [0, 0.3, 0.4, 1.0]
+    desired = [1, 1, 0, 0]
+    ours = firls(numtaps, bands, desired)
+    ref = sig.firls(numtaps, bands, desired)
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_firls_sloped_weighted():
+    bands = [0, 0.2, 0.3, 0.55, 0.7, 1.0]
+    desired = [1, 1, 0.5, 0.25, 0, 0]
+    weight = [2, 0.5, 1]
+    ours = firls(61, bands, desired, weight=weight)
+    ref = sig.firls(61, bands, desired, weight=weight)
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_firls_fs():
+    ours = firls(41, [0, 2000, 3000, 8000], [1, 1, 0, 0], fs=16000)
+    ref = sig.firls(41, [0, 2000, 3000, 8000], [1, 1, 0, 0], fs=16000)
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_firls_even_raises():
+    with pytest.raises(ValueError):
+        firls(40, [0, 0.3, 0.4, 1.0], [1, 1, 0, 0])
+
+
+@pytest.mark.parametrize("numtaps", [64, 65])
+def test_minimum_phase_matches_scipy(numtaps):
+    h = sig.firwin(numtaps, 0.35)
+    ours = minimum_phase(h)
+    ref = sig.minimum_phase(h, method="homomorphic")
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_minimum_phase_properties():
+    h = sig.firwin(101, 0.3)
+    hm = minimum_phase(h)
+    # sqrt-magnitude: |H_min(f)|^2 == |H(f)| on the unit circle.
+    grid = 4096
+    mag2 = np.abs(np.fft.rfft(hm, grid)) ** 2
+    mag = np.abs(np.fft.rfft(h, grid))
+    np.testing.assert_allclose(mag2, mag, atol=2e-3)
+    # Minimum phase: all zeros inside (or on) the unit circle.
+    assert np.abs(np.roots(hm)).max() < 1.0 + 1e-6
