@@ -16,6 +16,7 @@ jitted HLO like the reference's compile-time tables (fft.h:197-214).
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -28,36 +29,63 @@ __all__ = ["remez", "firls", "minimum_phase"]
 
 
 def _pm_grid(num_taps: int, bands: np.ndarray, desired: np.ndarray,
-             weight: np.ndarray, ftype: str, grid_density: int, nfcns: int):
+             weight: np.ndarray, ftype: str, grid_density: int, nfcns: int,
+             neg: bool, nodd: bool):
     """Dense frequency grid (cycles/sample, 0..0.5) with per-point desired
-    response and weight, per the classic PM grid rules."""
+    response and weight — an exact replica of the classic PM
+    (McClellan/Parks/Rabiner 1973) grid: per band, points f_lo + k*delf by
+    repeated addition, the first point past f_hi clamped back to f_hi, the
+    first edge lifted to delf for antisymmetric types, and the last point
+    dropped when the type's trig factor vanishes at Nyquist.  The discrete
+    minimax optimum depends on the grid, so tap-for-tap parity with other
+    PM implementations requires this construction verbatim."""
     delf = 0.5 / (grid_density * nfcns)
+    bands = np.array(bands, dtype=np.float64, copy=True)
+    if neg and bands[0] < delf:
+        bands[0] = delf
     grid, des, wt, seg = [], [], [], []
     for b in range(len(bands) // 2):
         f_lo, f_hi = bands[2 * b], bands[2 * b + 1]
-        n_pts = max(int(math.ceil((f_hi - f_lo) / delf)) + 1, 2)
-        f = np.linspace(f_lo, f_hi, n_pts)
-        d = np.full(n_pts, desired[b])
-        w = np.full(n_pts, weight[b])
+        f = f_lo
+        gband = []
+        while True:
+            gband.append(f)
+            f = f + delf
+            if f > f_hi:
+                break
+        gband[-1] = f_hi
+        gband = np.asarray(gband)
         if ftype == "differentiator":
-            # Desired is a slope: D = slope * f; relative-error weighting.
-            d = desired[b] * f
-            nz = desired[b] != 0
-            if nz:
-                w = weight[b] / np.maximum(f, 1e-30)
-        grid.append(f)
+            # Desired is a slope: D = slope * f; relative-error weighting
+            # unless the slope is (near) zero.
+            d = desired[b] * gband
+            if desired[b] >= 1e-4:
+                w = weight[b] / gband
+            else:
+                w = np.full(len(gband), weight[b])
+        else:
+            d = np.full(len(gband), desired[b])
+            w = np.full(len(gband), weight[b])
+        grid.append(gband)
         des.append(d)
         wt.append(w)
-        seg.append(np.full(n_pts, b))
-    return (np.concatenate(grid), np.concatenate(des), np.concatenate(wt),
-            np.concatenate(seg))
+        seg.append(np.full(len(gband), b))
+    grid = np.concatenate(grid)
+    des = np.concatenate(des)
+    wt = np.concatenate(wt)
+    seg = np.concatenate(seg)
+    # Types II and III have q(0.5) = 0: drop a final grid point near
+    # Nyquist so the transformed weight never vanishes.
+    if (int(neg) == int(nodd)) and grid[-1] > 0.5 - delf:
+        grid, des, wt, seg = grid[:-1], des[:-1], wt[:-1], seg[:-1]
+    return grid, des, wt, seg
 
 
 def _pm_transform(grid, des, wt, neg: bool, nodd: bool):
     """Fold the linear-phase type's fixed trig factor into D and W so the
     exchange always fits a pure cosine polynomial P(f) = sum a_k cos(2πkf):
     H(f) = P(f) * q(f) with q = 1 / cos(πf) / sin(2πf) / sin(πf) for
-    types I / II / III / IV."""
+    types I / II / III / IV.  The grid construction guarantees q != 0."""
     if not neg:
         if nodd:
             q = np.ones_like(grid)
@@ -68,8 +96,7 @@ def _pm_transform(grid, des, wt, neg: bool, nodd: bool):
             q = np.sin(2 * np.pi * grid)
         else:
             q = np.sin(np.pi * grid)
-    ok = np.abs(q) > 1e-12
-    return des / np.where(ok, q, 1.0), wt * q, ok
+    return des / q, wt * q
 
 
 def _bary_weights(x: np.ndarray):
@@ -83,96 +110,121 @@ def _bary_weights(x: np.ndarray):
     return sign * np.exp(logs - logs.max())
 
 
+def _eval_bary(xg, xn, cn, bn):
+    """Evaluate the polynomial through nodes (xn, cn) with barycentric
+    weights bn at the points xg (exact at coincident nodes)."""
+    diff = xg[:, None] - xn[None, :]
+    hit = np.abs(diff) < 1e-15
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = bn[None, :] / diff
+        p = (k @ cn) / k.sum(axis=1)
+    for i in np.nonzero(hit.any(axis=1))[0]:
+        p[i] = cn[np.argmax(hit[i])]
+    return p
+
+
 def _remez_exchange(grid, des, wt, seg, nfcns: int, maxiter: int):
     """Core equioscillation exchange on the cosine-polynomial problem.
-    Returns (extremal x nodes, node values C_k, delta)."""
+    Returns (extremal x nodes, node values C_k, delta, converged).
+
+    Multiple exchange: each iteration levels the error on the current
+    extremal set (the barycentric delta solve), then rebuilds the set from
+    the true local extrema of the signed weighted error — one-sided at band
+    boundaries, admitted only when |err| >= |delta|, collapsed to one per
+    same-sign run, and trimmed from the weaker end to r = nfcns+1 points.
+    The fixed point of this map is the unique discrete minimax solution on
+    the grid (equioscillation theorem), so independent PM implementations
+    agree tap-for-tap once the grid matches.
+    """
     ngrid = len(grid)
     x_all = np.cos(2 * np.pi * grid)
     r = nfcns + 1  # extremal count
-    iext = np.round(np.linspace(0, ngrid - 1, r)).astype(int)
+    # Classic init: evenly strided over the grid, last point pinned.
+    stride = (ngrid - 1) / nfcns
+    iext = np.minimum(np.round(np.arange(nfcns) * stride).astype(int),
+                      ngrid - 1)
+    iext = np.unique(np.concatenate([iext, [ngrid - 1]]))
+    if len(iext) < r:
+        pad = np.setdiff1d(np.arange(ngrid), iext)
+        iext = np.sort(np.concatenate([iext, pad[: r - len(iext)]]))
     # Band-segment boundaries: extrema detection never looks across a
-    # transition gap, and band edges are always candidates (classic PM).
-    edges = np.nonzero(np.diff(seg) != 0)[0]
-    seg_start = np.concatenate([[0], edges + 1])
-    seg_end = np.concatenate([edges, [ngrid - 1]])
-    is_edge = np.zeros(ngrid, dtype=bool)
-    is_edge[seg_start] = True
-    is_edge[seg_end] = True
+    # transition gap.
+    band_edges = np.nonzero(np.diff(seg) != 0)[0]
+    seg_start = np.concatenate([[0], band_edges + 1])
+    seg_end = np.concatenate([band_edges, [ngrid - 1]])
+    signs = (-1.0) ** np.arange(r)
 
+    converged = False
     for _ in range(maxiter):
         xe = x_all[iext]
         b = _bary_weights(xe)
-        signs = (-1.0) ** np.arange(r)
         delta = (b @ des[iext]) / (b @ (signs / wt[iext]))
         ce = des[iext] - signs * delta / wt[iext]
-
         # Barycentric evaluation of P on the whole grid through the first
         # nfcns nodes (degree nfcns-1 polynomial in x).
         xn, cn = xe[:nfcns], ce[:nfcns]
-        bn = _bary_weights(xn)
-        diff = x_all[:, None] - xn[None, :]
-        hit = np.abs(diff) < 1e-14
-        with np.errstate(divide="ignore", invalid="ignore"):
-            k = bn[None, :] / diff
-            p = (k @ cn) / k.sum(axis=1)
-        rows = np.nonzero(hit.any(axis=1))[0]
-        for i in rows:
-            p[i] = cn[np.argmax(hit[i])]
-
+        p = _eval_bary(x_all, xn, cn, _bary_weights(xn))
         err = (p - des) * wt
-
-        # Candidate extrema per band segment: interior local maxima of
-        # |err| plus both segment ends.
         ae = np.abs(err)
-        cand = []
-        for s, e in zip(seg_start, seg_end):
-            cand.append(s)
-            for i in range(s + 1, e):
-                if ae[i] >= ae[i - 1] and ae[i] >= ae[i + 1]:
-                    cand.append(i)
-            if e != s:
-                cand.append(e)
-        cand = np.unique(cand)
+        ad = np.abs(delta)
 
-        # Enforce sign alternation: among same-sign runs keep the largest
-        # (band edges win ties so transition edges stay represented).
-        keep = []
+        # Candidates: one-sided local extrema of the SIGNED error within
+        # each band segment whose magnitude reaches |delta| (points below
+        # the current leveled error can never be extremal in the optimum).
+        pos = err > 0
+        left_ok = np.ones(ngrid, dtype=bool)
+        left_ok[1:] = np.where(pos[1:], err[1:] >= err[:-1],
+                               err[1:] <= err[:-1])
+        left_ok[seg_start] = True
+        right_ok = np.ones(ngrid, dtype=bool)
+        right_ok[:-1] = np.where(pos[:-1], err[:-1] >= err[1:],
+                                 err[:-1] <= err[1:])
+        right_ok[seg_end] = True
+        cand = np.nonzero(left_ok & right_ok
+                          & (ae >= ad * (1.0 - 1e-12)))[0]
+        if len(cand) == 0:
+            break
+
+        # Collapse same-sign consecutive runs, keeping the largest |err|.
+        keep: list[int] = []
         for i in cand:
             if keep and np.sign(err[i]) == np.sign(err[keep[-1]]):
                 if ae[i] > ae[keep[-1]]:
                     keep[-1] = int(i)
             else:
                 keep.append(int(i))
-        # Trim to r extrema, dropping the weaker end first.
+        if len(keep) < r:
+            # Degenerate iteration (fewer alternations than needed): merge
+            # the previous extremal set back in and re-collapse.
+            merged = sorted(set(keep) | set(int(i) for i in iext))
+            keep = []
+            for i in merged:
+                if keep and np.sign(err[i]) == np.sign(err[keep[-1]]):
+                    if ae[i] > ae[keep[-1]]:
+                        keep[-1] = int(i)
+                else:
+                    keep.append(int(i))
+            if len(keep) < r:
+                break
+        # Trim to r extrema, dropping the weaker end first (preserves
+        # alternation — an interior drop would create a same-sign pair).
         while len(keep) > r:
             if ae[keep[0]] < ae[keep[-1]]:
                 keep.pop(0)
             else:
                 keep.pop()
-        if len(keep) < r:
-            # Degenerate (fewer alternations than needed this iteration):
-            # pad with the strongest unused candidates, order preserved.
-            extra = [int(i) for i in cand if int(i) not in set(keep)]
-            extra.sort(key=lambda i: -ae[i])
-            keep = sorted(set(keep) | set(extra[: r - len(keep)]))
-            if len(keep) < r:
-                # Not enough candidates at all: top up from the raw grid.
-                rest = [i for i in np.argsort(-ae) if i not in set(keep)]
-                keep = sorted(set(keep) | set(
-                    int(i) for i in rest[: r - len(keep)]))
-            keep = keep[:r]
 
-        new_iext = np.asarray(keep[:r], dtype=int)
+        new_iext = np.asarray(keep, dtype=int)
         if np.array_equal(new_iext, iext):
+            converged = True
             break
         iext = new_iext
 
     xe = x_all[iext]
     b = _bary_weights(xe)
-    signs = (-1.0) ** np.arange(r)
     delta = (b @ des[iext]) / (b @ (signs / wt[iext]))
     ce = des[iext] - signs * delta / wt[iext]
-    return xe[:nfcns], ce[:nfcns], delta
+    return xe[:nfcns], ce[:nfcns], delta, converged
 
 
 def remez(num_taps: int, bands: Sequence[float], desired: Sequence[float],
@@ -195,8 +247,8 @@ def remez(num_taps: int, bands: Sequence[float], desired: Sequence[float],
     desired = np.asarray(desired, dtype=np.float64)
     if bands.ndim != 1 or len(bands) % 2 or len(bands) < 2:
         raise ValueError("bands must be a flat list of edge pairs")
-    if (np.diff(bands) < 0).any() or bands[0] < 0 or bands[-1] > 0.5:
-        raise ValueError("band edges must ascend within [0, fs/2]")
+    if (np.diff(bands) <= 0).any() or bands[0] < 0 or bands[-1] > 0.5:
+        raise ValueError("band edges must strictly ascend within [0, fs/2]")
     if len(desired) != len(bands) // 2:
         raise ValueError("need one desired value per band")
     if weight is None:
@@ -214,27 +266,23 @@ def remez(num_taps: int, bands: Sequence[float], desired: Sequence[float],
         nfcns += 1
 
     grid, des, wt, seg = _pm_grid(num_taps, bands, desired, weight, ftype,
-                                  grid_density, nfcns)
-    des_t, wt_t, ok = _pm_transform(grid, des, wt, neg, nodd)
-    grid, des_t, wt_t, seg = grid[ok], des_t[ok], wt_t[ok], seg[ok]
+                                  grid_density, nfcns, neg, nodd)
+    des_t, wt_t = _pm_transform(grid, des, wt, neg, nodd)
 
-    xn, cn, _ = _remez_exchange(grid, des_t, wt_t, seg, nfcns, maxiter)
+    xn, cn, _, converged = _remez_exchange(grid, des_t, wt_t, seg, nfcns,
+                                           maxiter)
+    if not converged:
+        warnings.warn(
+            "remez: exchange did not reach a stable extremal set in "
+            f"{maxiter} iterations; the design may not be optimal",
+            RuntimeWarning, stacklevel=2)
 
     # Synthesis: a length-L FIR is exactly determined by >= L uniform DTFT
     # samples.  Evaluate H(f) = P(f) * q(f) * phase on an rFFT grid and
     # invert — no window, no approximation.
     nfft = 1 << max(int(math.ceil(math.log2(2 * num_taps))), 4)
     f = np.arange(nfft // 2 + 1) / nfft
-    bn = _bary_weights(xn)
-    xg = np.cos(2 * np.pi * f)
-    diff = xg[:, None] - xn[None, :]
-    hit = np.abs(diff) < 1e-14
-    with np.errstate(divide="ignore", invalid="ignore"):
-        k = bn[None, :] / diff
-        pf = (k @ cn) / k.sum(axis=1)
-    rows = np.nonzero(hit.any(axis=1))[0]
-    for i in rows:
-        pf[i] = cn[np.argmax(hit[i])]
+    pf = _eval_bary(np.cos(2 * np.pi * f), xn, cn, _bary_weights(xn))
     if not neg:
         q = np.ones_like(f) if nodd else np.cos(np.pi * f)
     else:
