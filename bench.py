@@ -18,6 +18,29 @@ import numpy as np
 BASELINE_MSPS = 47.1  # BASELINE.md north-star chain, 1 Xeon core
 
 
+def _parity_snr(chain, x_framed, x_ref_host) -> float:
+    """SNR (dB) of the compiled chain's first two channels vs the float64
+    scipy oracle (sosfilt + rfft, packed halfcomplex)."""
+    import jax.numpy as jnp  # noqa: F401  (jax already imported by caller)
+    import scipy.signal as sig
+
+    from simpledsp_tpu.design.biquad import sos_matrix
+    from simpledsp_tpu.utils.host import to_numpy
+
+    (sr, si), _ = chain(x_framed)
+    nh = chain.fft_size // 2
+    got = (to_numpy(sr[:2]).astype(np.float64)
+           + 1j * to_numpy(si[:2]).astype(np.float64))
+    y64 = sig.sosfilt(sos_matrix(chain.design),
+                      x_ref_host.astype(np.float64), axis=-1)
+    ref = np.fft.rfft(y64.reshape(2, -1, chain.fft_size))
+    packed = ref[..., :nh].copy()
+    packed[..., 0] += 1j * ref[..., nh].real
+    err = got - packed
+    return float(10 * np.log10((np.abs(packed) ** 2).sum()
+                               / max((np.abs(err) ** 2).sum(), 1e-300)))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,10 +63,11 @@ def main():
     chain = NorthStarChain(fft_size=4096, block_size=256, dtype=jnp.float32,
                            precision=None)
     rng = np.random.default_rng(0)
+    x_host = rng.standard_normal((c, t)).astype(np.float32)
     # Upload pre-framed (C, F, n1, n2): the same samples in the same order,
     # in the kernel's tiling — what a streaming producer would emit —
     # skipping a 268 MB device-side re-tiling copy per call.
-    x = chain.frame_input(rng.standard_normal((c, t)).astype(np.float32))
+    x = chain.frame_input(x_host)
     s0 = jnp.zeros((c, 2 * (chain.design.nsections + 1)), dtype=jnp.float32)
 
     fwd = chain._jit   # pins spectra output layout (models/northstar.py)
@@ -53,6 +77,15 @@ def main():
     # cannot lie.
     out, s = fwd(x, s0)
     float(jnp.sum(s))
+
+    # Compiled-path correctness gate: every benchmark run re-proves the
+    # compiled kernel (not interpret mode) against the f64 scipy oracle.
+    # chain() reuses the SAME jitted executable as fwd — zero extra
+    # compiles; only 2 channels are fetched (~4 MB each plane).
+    snr_db = _parity_snr(chain, x, x_host[:2])
+    if snr_db < 130.0:
+        raise SystemExit(
+            f"compiled-path parity FAILED: {snr_db:.1f} dB < 130 dB")
 
     def one_loop(iters=16):
         s = s0
@@ -83,6 +116,7 @@ def main():
             "seconds_per_call": round(dt, 6),
             "device": str(jax.devices()[0]),
             "dtype": "float32",
+            "parity_snr_db": round(snr_db, 1),
             "baseline": f"{BASELINE_MSPS} Msamples/s (1 Xeon core, f64 C++)",
         },
     }
