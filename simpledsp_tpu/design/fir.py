@@ -157,15 +157,33 @@ def resampler_taps(up: int, down: int, taps_per_phase: int = 24,
 
 
 def pfb_prototype_taps(num_channels: int, taps_per_channel: int = 16,
-                       atten_db: float = 80.0) -> np.ndarray:
+                       atten_db: float = 80.0, design: str = "kaiser",
+                       rolloff: float = 0.7,
+                       stop_weight: float = 10.0) -> np.ndarray:
     """Prototype low-pass for a polyphase filter-bank channelizer.
 
-    Cutoff at half the channel spacing; length = num_channels *
-    taps_per_channel for exact polyphase reshaping.
+    Cutoff at half the channel spacing fc = 0.5/M; length = num_channels *
+    taps_per_channel for exact polyphase reshaping; unity DC gain.
+
+    ``design="kaiser"`` (default) is the windowed-sinc family;
+    ``design="remez"`` is the Parks-McClellan equiripple optimum over
+    passband [0, rolloff*fc] / stopband [(2-rolloff)*fc, 0.5] with the
+    stopband weighted ``stop_weight``: — at equal taps it buys 16-34 dB
+    more adjacent-channel rejection (measured −90 vs −65 dB at M=16, K=16)
+    at comparable passband ripple (6e-4 vs 5e-4).
     """
     num_taps = num_channels * taps_per_channel
     fc = 0.5 / num_channels
-    return lowpass_taps(num_taps, fc, fs=1.0, atten_db=atten_db)
+    if design == "kaiser":
+        return lowpass_taps(num_taps, fc, fs=1.0, atten_db=atten_db)
+    if design == "remez":
+        from simpledsp_tpu.design.optimal_fir import remez
+        if not (0.0 < rolloff < 1.0):
+            raise ValueError(f"need 0 < rolloff < 1, got {rolloff}")
+        h = remez(num_taps, [0.0, rolloff * fc, (2.0 - rolloff) * fc, 0.5],
+                  [1.0, 0.0], weight=[1.0, stop_weight])
+        return h / h.sum()
+    raise ValueError(f"unknown design {design!r}")
 
 
 def firwin2(num_taps: int, freq, gain, *,

@@ -57,10 +57,14 @@ class PFBChannelizer:
     """
 
     def __init__(self, num_channels: int, taps: Optional[np.ndarray] = None,
-                 taps_per_channel: int = 16, dtype=jnp.float32):
+                 taps_per_channel: int = 16, dtype=jnp.float32,
+                 design: str = "kaiser"):
         self.m = int(num_channels)
         if taps is None:
-            taps = pfb_prototype_taps(self.m, taps_per_channel)
+            # design="remez" buys 16-34 dB more adjacent-channel rejection
+            # at equal taps (see design.fir.pfb_prototype_taps).
+            taps = pfb_prototype_taps(self.m, taps_per_channel,
+                                      design=design)
         taps = np.asarray(taps, dtype=np.float64)
         if taps.size % self.m != 0:
             taps = np.pad(taps, (0, self.m - taps.size % self.m))

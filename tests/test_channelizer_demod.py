@@ -212,3 +212,75 @@ class TestNCOPhaseContinuity:
         np.testing.assert_allclose(
             np.concatenate([np.asarray(ar), np.asarray(br)]),
             np.asarray(yr), atol=1e-6)
+
+
+class TestRemezPrototype:
+    """design="remez" switch: equiripple prototypes for the PFB and the
+    audio decimators (VERDICT r3 item 6)."""
+
+    def test_remez_prototype_stopband_beats_kaiser(self):
+        from simpledsp_tpu.design.fir import pfb_prototype_taps
+        m, k = 16, 16
+        fc = 0.5 / m
+        f_stop = 1.3 * fc  # the remez design's stopband edge
+        nfft = 1 << 16
+        f = np.arange(nfft // 2 + 1) / nfft
+
+        def stop_db(h):
+            resp = np.abs(np.fft.rfft(h, nfft))
+            return 20 * np.log10(resp[f >= f_stop].max() / resp[0])
+
+        hk = pfb_prototype_taps(m, k)                      # windowed sinc
+        hr = pfb_prototype_taps(m, k, design="remez")
+        assert hr.size == hk.size                          # equal taps
+        # >= 10 dB more adjacent-channel rejection (measured ~25 dB).
+        assert stop_db(hr) < stop_db(hk) - 10.0
+        # ... at comparable passband flatness.
+        ripple = np.abs(np.abs(np.fft.rfft(hr, nfft))[f <= 0.7 * fc] - 1.0)
+        assert ripple.max() < 2e-3
+
+    def test_remez_channelizer_carrier_recovery(self):
+        m, c0 = 16, 5
+        ch = PFBChannelizer(m, taps_per_channel=8, dtype=jnp.float64,
+                            design="remez")
+        n = np.arange(8192)
+        x = np.exp(2j * np.pi * c0 * n / m)
+        y, _ = ch(jnp.asarray(x))
+        power = np.mean(np.abs(np.asarray(y)[64:]) ** 2, axis=0)
+        assert np.argmax(power) == c0
+        assert abs(power[c0] - 1.0) < 1e-2
+        # Adjacent-channel interferer 0.7 spacings above c0: the victim
+        # channel sees it at 1.4*fc — just past the remez stopband edge,
+        # inside the windowed sinc's roll-off tail.  This is the
+        # worst-case (guaranteed-rejection) scenario, where equiripple's
+        # flat stopband pays off: measured 1680x (32 dB) quieter at equal
+        # taps.  (Far-offset interferers favor the kaiser design's decaying
+        # tail instead — the trade the design= switch exposes.)
+        xi = np.exp(2j * np.pi * (c0 + 0.7) * n / m)
+        leak = []
+        for design in ("remez", "kaiser"):
+            chx = PFBChannelizer(m, taps_per_channel=8, dtype=jnp.float64,
+                                 design=design)
+            yx, _ = chx(jnp.asarray(xi))
+            p = np.mean(np.abs(np.asarray(yx)[128:]) ** 2, axis=0)
+            leak.append(p[c0])
+        assert leak[0] < leak[1] / 10.0  # >= 10 dB quieter (measured 32)
+
+    def test_remez_fm_bank_tone_recovery(self):
+        fs, m, decim = 1.024e6, 16, 4
+        bank = FMReceiverBank(m, fs=fs, decim=decim, deviation_hz=5e3,
+                              dtype=jnp.float64, use_pallas=False,
+                              design="remez")
+        T = 1 << 15
+        t = np.arange(T) / fs
+        tone = 1000.0
+        x = np.exp(1j * (2 * np.pi * 3 * fs / m * t
+                         + 5e3 / tone * np.sin(2 * np.pi * tone * t)))[None]
+        audio, _ = bank((jnp.asarray(x.real), jnp.asarray(x.imag)))
+        a = np.asarray(audio)[0, 3][100:]
+        arate = fs / m / decim
+        spec = np.abs(np.fft.rfft(a * np.hanning(a.size)))
+        peak = np.fft.rfftfreq(a.size, 1 / arate)[np.argmax(spec)]
+        assert abs(peak - tone) < 3 * arate / a.size
+        rms = np.sqrt(np.mean(a ** 2))
+        assert 0.6 < rms < 0.8  # unit sine -> 0.707
