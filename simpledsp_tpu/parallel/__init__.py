@@ -12,7 +12,9 @@ from simpledsp_tpu.parallel.iir import ShardedBlockIIR
 from simpledsp_tpu.parallel.sdr import ShardedReceiverBank
 from simpledsp_tpu.parallel.fir import (
     ShardedChannelizer,
+    ShardedConvolve,
     ShardedFIR,
     ShardedOverlapSaveFIR,
     halo_exchange,
 )
+from simpledsp_tpu.parallel.spectral import ShardedSTFT

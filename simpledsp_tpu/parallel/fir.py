@@ -28,7 +28,7 @@ from simpledsp_tpu.ops.fir import FIRState, PolyphaseResampler, fir_init
 from simpledsp_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
 
 __all__ = ["halo_exchange", "ShardedFIR", "ShardedChannelizer",
-           "ShardedOverlapSaveFIR"]
+           "ShardedOverlapSaveFIR", "ShardedConvolve"]
 
 
 def halo_exchange(xl: jnp.ndarray, hist: int, carried: jnp.ndarray,
@@ -200,6 +200,84 @@ class ShardedChannelizer:
             state = fir_init(self.pfb.hist_len, (c,), dtype=x.dtype)
         y, hist = self._build(c, t)(x, state.hist.astype(x.dtype))
         return y, FIRState(hist)
+
+
+class ShardedConvolve:
+    """Centered ("same") convolution sharded (channels dp) x (time sp).
+
+    ``ops.conv.convolve(x, h, mode="same")`` promoted to the mesh: each
+    shard runs the serial convolve (OLS / FFT / direct route picked by the
+    same heuristics) on its halo-prefixed span, then ONE extra ppermute
+    shifts shard outputs left by (m-1)//2 samples to realize the centered
+    alignment — the left halo supplies trailing context, the right
+    neighbor's head supplies the centered look-ahead.  Matches the serial
+    op exactly (same ops, same order, zero-padded signal ends).
+    """
+
+    def __init__(self, taps: np.ndarray, mesh: Mesh, dtype=jnp.float32,
+                 method: str = "auto"):
+        self.h = np.asarray(taps, dtype=np.float64)
+        if self.h.ndim != 1 or self.h.size == 0:
+            raise ValueError("taps must be a non-empty 1-D array")
+        self.m = self.h.size
+        self.shift = (self.m - 1) // 2   # "same" center offset
+        self.mesh = mesh
+        self.n_seq = mesh.shape[SEQ_AXIS]
+        self.dtype = dtype
+        self.method = method
+        self._jit_cache = {}
+
+    def _local(self, xl: jnp.ndarray):
+        from simpledsp_tpu.ops.conv import convolve
+        t_local = xl.shape[-1]
+        m, s = self.m, self.shift
+        zeros_h = jnp.zeros(xl.shape[:-1] + (m - 1,), xl.dtype)
+        xp = halo_exchange(xl, m - 1, zeros_h)
+        if s:
+            xp = jnp.concatenate(
+                [xp, jnp.zeros(xl.shape[:-1] + (s,), xl.dtype)], axis=-1)
+        # Causal outputs y_full[t0 .. t0+T_local+s): the m-1 halo supplies
+        # the left context, the s zeros stand in for the right neighbor.
+        ye = convolve(xp, self.h.astype(np.dtype(xl.dtype)), mode="full",
+                      method=self.method)[..., m - 1: m - 1 + t_local + s]
+        if s == 0:
+            return ye
+        n = jax.lax.axis_size(SEQ_AXIS)
+        # Right neighbor's first s causal outputs == this shard's centered
+        # tail; the LAST shard's zero-padded tail is already correct (the
+        # convolution tail past the signal end).
+        if n > 1:
+            recv = jax.lax.ppermute(ye[..., :s], SEQ_AXIS,
+                                    [(i, i - 1) for i in range(1, n)])
+        else:
+            recv = jnp.zeros_like(ye[..., :s])
+        i = jax.lax.axis_index(SEQ_AXIS)
+        tail = jnp.where(i == n - 1, ye[..., t_local:], recv)
+        return jnp.concatenate([ye[..., s: t_local], tail], axis=-1)
+
+    def _build(self, c: int, t: int):
+        key = (c, t)
+        if key not in self._jit_cache:
+            fn = jax.shard_map(
+                self._local, mesh=self.mesh,
+                in_specs=P(DATA_AXIS, SEQ_AXIS),
+                out_specs=P(DATA_AXIS, SEQ_AXIS),
+            )
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim != 2:
+            raise ValueError("ShardedConvolve expects x of shape (C, T)")
+        c, t = x.shape
+        t_local = t // self.n_seq
+        if t_local * self.n_seq != t:
+            raise ValueError(f"T={t} not divisible by sp={self.n_seq}")
+        if t_local < self.m - 1 or t_local < self.shift:
+            raise ValueError(
+                f"local shard of {t_local} samples is shorter than the "
+                f"{self.m - 1}-sample halo; use fewer sequence shards")
+        return self._build(c, t)(x.astype(self.dtype))
 
 
 class ShardedOverlapSaveFIR:

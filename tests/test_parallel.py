@@ -245,3 +245,75 @@ class TestShardedReceiverBank:
         sharded = ShardedReceiverBank(bank, mesh24)
         with pytest.raises(ValueError):
             sharded(jnp.zeros((3, 16 * 64), jnp.float64))
+
+
+class TestShardedConvolve:
+    def test_same_mode_matches_serial(self, mesh24, rng):
+        from simpledsp_tpu.ops.conv import convolve
+        from simpledsp_tpu.parallel.fir import ShardedConvolve
+        h = lowpass_taps(301, 0.1, fs=1.0)
+        x = rng.standard_normal((4, 8192))
+        sc = ShardedConvolve(h, mesh24, dtype=jnp.float64)
+        got = np.asarray(sc(jnp.asarray(x)))
+        ref = np.asarray(convolve(jnp.asarray(x), h, mode="same"))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_even_taps_and_sp8(self, mesh18, rng):
+        from simpledsp_tpu.ops.conv import convolve
+        from simpledsp_tpu.parallel.fir import ShardedConvolve
+        h = rng.standard_normal(64)
+        x = rng.standard_normal((2, 4096))
+        sc = ShardedConvolve(h, mesh18, dtype=jnp.float64)
+        got = np.asarray(sc(jnp.asarray(x)))
+        ref = np.asarray(convolve(jnp.asarray(x), h, mode="same"))
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_scipy_oracle(self, mesh18, rng):
+        from simpledsp_tpu.parallel.fir import ShardedConvolve
+        h = rng.standard_normal(33)
+        x = rng.standard_normal((1, 2048))
+        sc = ShardedConvolve(h, mesh18, dtype=jnp.float64)
+        got = np.asarray(sc(jnp.asarray(x)))[0]
+        ref = sig.convolve(x[0], h, mode="same")
+        np.testing.assert_allclose(got, ref, atol=1e-10)
+
+    def test_short_shard_raises(self, mesh18):
+        from simpledsp_tpu.parallel.fir import ShardedConvolve
+        sc = ShardedConvolve(np.ones(301), mesh18, dtype=jnp.float64)
+        with pytest.raises(ValueError, match="halo"):
+            sc(jnp.zeros((1, 8 * 128)))
+
+
+class TestShardedSTFT:
+    @pytest.mark.parametrize("hop_div", [1, 2, 4])
+    def test_matches_serial(self, mesh24, rng, hop_div):
+        from simpledsp_tpu.ops.spectral import stft_ri
+        from simpledsp_tpu.parallel.spectral import ShardedSTFT
+        nfft = 256
+        hop = nfft // hop_div
+        x = rng.standard_normal((4, 8192))
+        st = ShardedSTFT(mesh24, nfft=nfft, hop=hop, dtype=jnp.float64)
+        gr, gi = st(jnp.asarray(x))
+        rr, ri_ = stft_ri(jnp.asarray(x), nfft, hop=hop)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri_),
+                                   atol=1e-12)
+
+    def test_sp8_onesided_false(self, mesh18, rng):
+        from simpledsp_tpu.ops.spectral import stft_ri
+        from simpledsp_tpu.parallel.spectral import ShardedSTFT
+        x = rng.standard_normal((2, 8 * 512))
+        st = ShardedSTFT(mesh18, nfft=128, hop=64, onesided=False,
+                         dtype=jnp.float64)
+        gr, gi = st(jnp.asarray(x))
+        rr, ri_ = stft_ri(jnp.asarray(x), 128, hop=64, onesided=False)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(rr),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri_),
+                                   atol=1e-12)
+
+    def test_bad_hop_raises(self, mesh18):
+        from simpledsp_tpu.parallel.spectral import ShardedSTFT
+        with pytest.raises(ValueError, match="hop"):
+            ShardedSTFT(mesh18, nfft=256, hop=96)
