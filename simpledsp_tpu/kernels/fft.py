@@ -130,35 +130,56 @@ def _make_kernel(real_input: bool, precision=None):
     return body
 
 
+def _vma(x):
+    """Varying-mesh-axes of a traced value (None outside shard_map) —
+    required on pallas out_shapes when called under shard_map."""
+    try:
+        return jax.typeof(x).vma or None
+    except Exception:
+        return None
+
+
 def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
                 inverse: bool, frames_per_tile: int = 8,
-                interpret: bool = False, precision=None):
-    """Core entry: frames (F, N) float planes -> (F, N) output planes."""
+                interpret: bool = False, precision=None,
+                scale: bool = True):
+    """Core entry: frames (F, N) float planes -> (F, N) output planes.
+
+    ``scale=False`` skips the inverse 1/N factor (the unscaled contract of
+    ops.fft._fft_ri, whose public wrappers scale once at the top level)."""
     f, n = xr.shape
     split = _best_split(n)
     if split is None:
         raise ValueError(f"size {n} not supported by the fused kernel")
     # VMEM budget: multi-pass f32 matmuls keep ~32 live (r, n) planes of
-    # scratch; stay under ~13 MB of the 16 MB VMEM.  Power-of-two cap so
-    # the divisibility fallback below stays effective.
+    # scratch; stay under ~13 MB of the 16 MB VMEM.
     max_r = max(1, (13 << 20) // (20 * n * xr.dtype.itemsize))
     max_r = 1 << (max_r.bit_length() - 1)
     r = min(frames_per_tile, max_r)
-    while f % r != 0:  # degrade tile if frame count isn't divisible
-        r //= 2
-        if r == 0:
-            raise ValueError(f"frame count {f} not tileable")
+    if not interpret:
+        # Mosaic requires the output block's (frames, n2) tail dims to be
+        # (8, 128)-divisible (or equal to the array's); keep r >= 8 and
+        # zero-pad the frame count up to a tile multiple instead of
+        # degrading the tile (max_r >= 8 for every supported n <= 16384).
+        r = max(r, min(8, max_r))
+    pad_f = -f % r
+    if pad_f:
+        zeros = jnp.zeros((pad_f, n), xr.dtype)
+        xr = jnp.concatenate([xr, zeros], axis=0)
+        if xi is not None:
+            xi = jnp.concatenate([xi, zeros], axis=0)
+    fp = f + pad_f
     real_input = xi is None
 
     n1, n2, w1c, w1s, w2c, w2s, tc, ts = _consts(
         n, inverse, np.dtype(xr.dtype).name)
 
     # Free HBM views: frames pre-split so the kernel never reshapes lanes.
-    xr3 = xr.reshape(f, n1, n2)
-    args = (xr3,) if real_input else (xr3, xi.reshape(f, n1, n2))
+    xr3 = xr.reshape(fp, n1, n2)
+    args = (xr3,) if real_input else (xr3, xi.reshape(fp, n1, n2))
 
     kernel = _make_kernel(real_input, precision)
-    grid = (f // r,)
+    grid = (fp // r,)
     in_blk = pl.BlockSpec((r, n1, n2), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     # Output in (k1, frames, k2) layout: lane axis k2 = n2 (128-wide DMA).
@@ -175,6 +196,12 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
     # twiddles enter in (n1, n2) orientation for the (k1, r, n2) layout.
     tables = tuple(np.ascontiguousarray(a) for a in
                    (w1c, w1s, w2c, w2s, tc.T, ts.T))
+    vma = _vma(xr3)
+    if vma:
+        # Under shard_map every kernel operand must carry matching varying
+        # axes; broadcast the (identical-everywhere) tables accordingly.
+        tables = tuple(jax.lax.pcast(jnp.asarray(a), tuple(vma),
+                                     to="varying") for a in tables)
     in_specs = ([in_blk] if real_input else [in_blk, in_blk]) + [
         const_spec(a) for a in tables]
 
@@ -184,19 +211,21 @@ def _fft_frames(xr: jnp.ndarray, xi: Optional[jnp.ndarray], *,
         grid=grid,
         in_specs=in_specs,
         out_specs=(out_blk, out_blk),
-        out_shape=(jax.ShapeDtypeStruct((n1, f, n2), xr.dtype),
-                   jax.ShapeDtypeStruct((n1, f, n2), xr.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((n1, fp, n2), xr.dtype, vma=vma),
+                   jax.ShapeDtypeStruct((n1, fp, n2), xr.dtype, vma=vma)),
         cost_estimate=pl.CostEstimate(
-            flops=int(flops_per * f),
-            bytes_accessed=(2 if real_input else 3) * f * n * xr.dtype.itemsize,
+            flops=int(flops_per * fp),
+            bytes_accessed=(2 if real_input else 3) * fp * n
+            * xr.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(*args + tables)
     # Digit-reversal reorder (k1, f, k2) -> (f, k2, k1) == bin order
-    # k = k1 + n1 k2: one XLA transpose at near-roofline bandwidth.
-    yr = yr.transpose(1, 2, 0).reshape(f, n)
-    yi = yi.transpose(1, 2, 0).reshape(f, n)
-    if inverse:
+    # k = k1 + n1 k2: one XLA transpose at near-roofline bandwidth; the
+    # frame padding (if any) is dropped by the same slice-free reshape.
+    yr = yr[:, :f].transpose(1, 2, 0).reshape(f, n)
+    yi = yi[:, :f].transpose(1, 2, 0).reshape(f, n)
+    if inverse and scale:
         s = jnp.asarray(1.0 / n, dtype=xr.dtype)
         return yr * s, yi * s
     return yr, yi

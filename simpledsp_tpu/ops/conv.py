@@ -47,10 +47,24 @@ def _conv_ols_full(x: jnp.ndarray, h64: np.ndarray, dtype) -> jnp.ndarray:
     streaming overlap-save blocks (ops/fir.OverlapSaveFIR) — one length-L
     FFT per hop instead of one giant 2x-padded transform (measured ~4x
     faster at n = 64 k, m = 301 on v5e).  Zero initial history makes the
-    causal OLS output exactly the full convolution."""
+    causal OLS output exactly the full convolution.
+
+    On TPU in f32 the whole per-frame pipeline (FFT -> tap-spectrum
+    product -> inverse FFT -> overlap discard) runs as ONE fused Pallas
+    kernel (kernels/ols.py): one HBM read of the frames, one write of the
+    valid samples."""
     n = x.shape[-1]
     m = h64.size
     total = n + m - 1
+    if (jnp.dtype(dtype) == jnp.float32
+            and jax.default_backend() == "tpu" and m - 1 <= 4096):
+        from simpledsp_tpu.kernels.ols import convolve_ols_fused, \
+            ols_supported
+        # nfft ~ 8 m keeps the discarded-overlap fraction under ~13%
+        # (overlap rounds up to whole n2-rows inside the kernel).
+        nfft = max(4096, _next_pow2(8 * m))
+        if ols_supported(nfft):
+            return convolve_ols_fused(x.astype(dtype), h64, nfft=nfft)
     block = max(4096, _next_pow2(4 * m))
     pad_tail = (m - 1) + (-total % block)
     ols = _cached_ols(h64.tobytes(), m, block, jnp.dtype(dtype).str)

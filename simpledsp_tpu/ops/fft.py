@@ -119,6 +119,23 @@ def _cmatmul(wr, wi, xr, xi, axis: int):
     return yr, yi
 
 
+def _use_fused_kernel(n: int, dtype) -> bool:
+    """Route this transform through the fused Pallas frames kernel?
+
+    On a real TPU backend, f32, supported split, and big enough that the
+    single dense-DFT matmul (n <= _MAX_DFT) isn't already one fused op.
+    The kernel does the whole four-step in VMEM — one HBM read, one write
+    — where XLA materializes every inter-step intermediate (measured
+    2-4x on the round-3 transform table, tools/bench_transforms.py).
+    """
+    if n <= _MAX_DFT or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from simpledsp_tpu.kernels.fft import pallas_fft_supported
+    return pallas_fft_supported(n)
+
+
 def _fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool):
     """Recursive four-step FFT over the LAST axis on (re, im) float arrays.
 
@@ -126,6 +143,16 @@ def _fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool):
     """
     n = xr.shape[-1]
     dtype = xr.dtype
+
+    if _use_fused_kernel(n, dtype):
+        # Fused VMEM kernel (kernels/fft.py); covers every caller built on
+        # this engine — rfft/irfft half-size packing, dct/dst, hilbert,
+        # Bluestein's pow2 convolutions, istft, 2-D per-axis transforms.
+        from simpledsp_tpu.kernels.fft import _fft_frames
+        lead = xr.shape[:-1]
+        yr, yi = _fft_frames(xr.reshape(-1, n), xi.reshape(-1, n),
+                             inverse=inverse, scale=False)
+        return yr.reshape(lead + (n,)), yi.reshape(lead + (n,))
 
     if n <= _MAX_DFT:
         wr64, wi64 = dft_matrix(n, inverse=inverse)

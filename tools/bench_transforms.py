@@ -86,6 +86,19 @@ def main():
     row("fftconvolve_301", lambda a: convolve(a, taps, "same"),
         (xc,), xc.size)
 
+    from simpledsp_tpu.ops.conv2d import convolve2d
+    from simpledsp_tpu.ops.fft import rfft2_ri
+
+    xi = jnp.asarray(rng.standard_normal((32, 512, 512)), dtype=jnp.float32)
+    row("rfft2_512", rfft2_ri, (xi,), xi.size)
+    k9 = np.asarray(rng.standard_normal((9, 9)), dtype=np.float32)
+    row("convolve2d_9x9", lambda a: convolve2d(a, k9, mode="same"),
+        (xi,), xi.size)
+    k64 = np.asarray(rng.standard_normal((64, 64)), dtype=np.float32)
+    row("convolve2d_64x64_fft",
+        lambda a: convolve2d(a, k64, mode="same", method="fft"),
+        (xi,), xi.size)
+
 
 if __name__ == "__main__":
     main()

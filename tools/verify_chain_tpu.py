@@ -1,6 +1,10 @@
 """On-chip check of the production chain: compiles, SNR vs f64, throughput.
 
-Run from the repo root:  python -m tools.verify_chain_tpu
+Run from the repo root:  python -m tools.verify_chain_tpu [high] [sizes...]
+
+Args: 'high' selects the HIGH-precision prepass; any integers are
+fft_sizes to verify (default 4096; e.g. `1024 4096 16384` produces the
+multi-shape evidence table in one process).
 """
 
 import json
@@ -10,34 +14,30 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def check_size(fft_size: int, prec, rng) -> dict:
     import jax.numpy as jnp
     import scipy.signal as sig
 
     from simpledsp_tpu.design.biquad import sos_matrix
     from simpledsp_tpu.models.northstar import NorthStarChain
 
-    prec = (jax.lax.Precision.HIGH if "high" in sys.argv[1:]
-            else None)  # None -> HIGHEST prepass (the >=130 dB config)
-    rng = np.random.default_rng(0)
-    chain = NorthStarChain(fft_size=4096, block_size=256,
+    chain = NorthStarChain(fft_size=fft_size, block_size=256,
                            dtype=jnp.float32, precision=prec)
 
     # ---- SNR vs the float64 scipy oracle (small block) ----
-    c_s, t_s = 2, 8 * 4096
+    c_s, t_s = 2, 8 * fft_size
     xs = rng.standard_normal((c_s, t_s))
     (sr, si), _ = chain(chain.frame_input(xs.astype(np.float32)))
     got = (np.asarray(sr).astype(np.float64)
            + 1j * np.asarray(si).astype(np.float64))
     y64 = sig.sosfilt(sos_matrix(chain.design), xs, axis=-1)
-    ref = np.fft.rfft(y64.reshape(c_s, -1, 4096))
-    packed = ref[..., :2048].copy()
-    packed[..., 0] += 1j * ref[..., 2048].real
+    ref = np.fft.rfft(y64.reshape(c_s, -1, fft_size))
+    packed = ref[..., : fft_size // 2].copy()
+    packed[..., 0] += 1j * ref[..., fft_size // 2].real
     err = got - packed
     snr_db = 10 * np.log10((np.abs(packed) ** 2).sum()
                            / max((np.abs(err) ** 2).sum(), 1e-300))
-    print(f"SNR vs f64 oracle: {snr_db:.1f} dB", flush=True)
+    print(f"N={fft_size}: SNR vs f64 oracle: {snr_db:.1f} dB", flush=True)
 
     # ---- chained-loop throughput (bench.py methodology) ----
     c, t = 64, 1 << 20
@@ -62,12 +62,26 @@ def main():
 
     dts = sorted(one_loop() for _ in range(5))
     dt = dts[2]
-    print(json.dumps({
+    rec = {
+        "fft_size": fft_size,
         "snr_db": round(float(snr_db), 1),
         "ms_per_call": [round(d * 1e3, 3) for d in dts],
         "median_Msps": round(c * t / dt / 1e6, 1),
-    }), flush=True)
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    import jax
+
+    prec = (jax.lax.Precision.HIGH if "high" in sys.argv[1:]
+            else None)  # None -> HIGHEST prepass (the >=130 dB config)
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [4096]
+    rng = np.random.default_rng(0)
+    for fft_size in sizes:
+        check_size(fft_size, prec, rng)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
