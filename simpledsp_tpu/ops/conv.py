@@ -30,6 +30,11 @@ from simpledsp_tpu.ops.fft import _as_ri, _pick_real_dtype, fft_ri, ifft_ri
 
 __all__ = ["convolve", "correlate"]
 
+# Trace-time switch for the fused OLS kernel route (kernels/ols.py) —
+# measured 3.9x over the XLA overlap-save route within one process
+# (tools/ab_fused.py: 5451 vs 1406 Ms/s at n=64k, m=301 on v5e).
+_FUSED_OLS = True
+
 
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
@@ -56,7 +61,7 @@ def _conv_ols_full(x: jnp.ndarray, h64: np.ndarray, dtype) -> jnp.ndarray:
     n = x.shape[-1]
     m = h64.size
     total = n + m - 1
-    if (jnp.dtype(dtype) == jnp.float32
+    if (_FUSED_OLS and jnp.dtype(dtype) == jnp.float32
             and jax.default_backend() == "tpu" and m - 1 <= 4096):
         from simpledsp_tpu.kernels.ols import convolve_ols_fused, \
             ols_supported

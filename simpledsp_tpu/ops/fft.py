@@ -119,21 +119,32 @@ def _cmatmul(wr, wi, xr, xi, axis: int):
     return yr, yi
 
 
+# Trace-time switch for routing this engine through the fused Pallas
+# frames kernel (kernels/fft.py).  DEFAULT OFF: the within-process A/B
+# (tools/ab_fused.py, v5e) showed the standalone fused FFT LOSES to XLA's
+# batched-einsum lowering for the transform compositions here — dct2
+# 0.45x, istft 0.72x, Bluestein 0.88x — because a small-n1 tile runs
+# ~1/64-utilization MXU passes where XLA batches ONE giant einsum over
+# all frames; only marginal wins elsewhere (stft-4096 1.25x).  The
+# mechanism is kept (and gated correct at 137-140 dB on-chip,
+# tools/verify_fused_transforms.py) for callers whose composition does
+# win — the fused OLS convolution (kernels/ols.py, 3.9x) makes its own
+# dispatch decision in ops/conv.py and does not use this flag.
+_FUSED_DISPATCH = False
+
+
 def _use_fused_kernel(n: int, dtype) -> bool:
     """Route this transform through the fused Pallas frames kernel?
 
-    On a real TPU backend, f32, supported split, and big enough that the
-    single dense-DFT matmul (n <= _MAX_DFT) isn't already one fused op.
-    The kernel does the whole four-step in VMEM — one HBM read, one write
-    — where XLA materializes every inter-step intermediate (measured
-    2-4x on the round-3 transform table, tools/bench_transforms.py).
+    Requires the trace-time `_FUSED_DISPATCH` opt-in, a real TPU backend,
+    f32, and a lane-aligned split n = n1 * 128, 2 <= n1 <= 128
+    (misaligned minor dims hit Mosaic "unsupported shape cast").
     """
-    if n <= _MAX_DFT or jnp.dtype(dtype) != jnp.float32:
+    if not _FUSED_DISPATCH or jnp.dtype(dtype) != jnp.float32:
         return False
-    if jax.default_backend() != "tpu":
-        return False
-    from simpledsp_tpu.kernels.fft import pallas_fft_supported
-    return pallas_fft_supported(n)
+    if n % 128 or not 2 <= n // 128 <= 128:
+        return False  # n <= _MAX_DFT is already one dense fused matmul
+    return jax.default_backend() == "tpu"
 
 
 def _fft_ri(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool):

@@ -27,20 +27,28 @@ from simpledsp_tpu.ops.transforms import analytic_ri, dct
 from simpledsp_tpu.utils.benchmark import _force
 
 
-def time_enqueued(fn, args, iters=8, warmup=2):
+def time_enqueued(fn, args, iters=8, warmup=2, reps=5):
+    """Median of `reps` enqueued loops.  A single post-compile window is
+    NOT enough on this runtime: per-executable warm-up spans the first
+    ~dozen calls (measured: dct2 read 1.8 Gs/s cold vs 18 Gs/s warm —
+    fast ops were understated up to 10x in the round-3 table; slow ops
+    with >= 5 ms calls were unaffected)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
     _force(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _force(out)
-    t_loop = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _force(out)
-    t_fetch = time.perf_counter() - t0
-    return max(t_loop - t_fetch, 1e-9) / iters
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _force(out)
+        t_loop = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _force(out)
+        t_fetch = time.perf_counter() - t0
+        ts.append(max(t_loop - t_fetch, 1e-9) / iters)
+    return sorted(ts)[reps // 2]
 
 
 def row(name, fn, args, n_samples, iters=8):
