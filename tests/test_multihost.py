@@ -59,6 +59,30 @@ WORKER = textwrap.dedent("""
     rel = abs(val_chain - val_serial) / max(abs(val_serial), 1e-9)
     assert rel < 1e-5, (val_chain, val_serial)
     print(f"OKCHAIN proc {{pid}} checksum {{val_chain:.6f}}", flush=True)
+
+    # Round-4 sharded ops across the process boundary: centered
+    # convolution (left halo + centering ppermute) and STFT (right-
+    # neighbor look-ahead halo), both vs in-worker serial references.
+    from simpledsp_tpu.ops.conv import convolve
+    from simpledsp_tpu.parallel import ShardedConvolve, ShardedSTFT
+    h33 = lowpass_taps(33, 0.2, fs=1.0)
+    yc = ShardedConvolve(h33, mesh, dtype=jnp.float32)(x)
+    ref_c = convolve(jnp.asarray(ref_in), h33, mode="same")
+    rel_c = float(jnp.max(jnp.abs(yc - ref_c))
+                  / jnp.max(jnp.abs(ref_c)))
+    assert rel_c < 1e-5, rel_c
+    print(f"OKCONV proc {{pid}} checksum "
+          f"{{float(jnp.sum(jnp.abs(yc))):.6f}}", flush=True)
+
+    from simpledsp_tpu.ops.spectral import stft_ri
+    st = ShardedSTFT(mesh, nfft=128, hop=64, dtype=jnp.float32)
+    gr, gi = st(x)
+    rr_s, ri_s = stft_ri(jnp.asarray(ref_in).astype(jnp.float32), 128,
+                         hop=64)
+    rel_s = float(jnp.max(jnp.abs(gr - rr_s)) + jnp.max(jnp.abs(gi - ri_s)))
+    assert rel_s < 1e-4, rel_s
+    print(f"OKSTFT proc {{pid}} checksum "
+          f"{{float(jnp.sum(jnp.abs(gr))):.6f}}", flush=True)
 """)
 
 
@@ -79,7 +103,7 @@ def test_two_process_distributed(tmp_path):
     # both processes computed the SAME global result for every mechanism
     # exercised: sharded IIR (state collective), halo FIR (ppermute ring),
     # and the full sharded chain (+ serial-reference parity in-worker).
-    for tag in ("OK ", "OKFIR ", "OKCHAIN "):
+    for tag in ("OK ", "OKFIR ", "OKCHAIN ", "OKCONV ", "OKSTFT "):
         checks = [ln for o in outs for ln in o.splitlines()
                   if ln.startswith(tag)]
         assert len(checks) == 2, (tag, outs)
