@@ -671,6 +671,17 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
         if r == 0:
             raise ValueError(f"frame count {f_total} not tileable")
 
+    # Mosaic's scoped-vmem (kernel stack) limit defaults to 16 MB; the
+    # body keeps ~9 live (r, n1, n2) frame-unit temporaries, which
+    # exceeds the default once n1 reaches 128 (N = 16384: measured
+    # 18.14 MB request -> compile error).  Raise the limit only when the
+    # estimate says the default is tight; the limit is a ceiling, not an
+    # allocation, so smaller shapes compile identically with it unset.
+    scoped_est = 9 * r * n1 * n2 * np.dtype(dtype).itemsize
+    cparams = (pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(2 * scoped_est, 100 << 20)))
+        if scoped_est > (14 << 20) else None)
+
     _, _, w1c, w1s, w2c, w2s, tc, ts = _consts(N, False, np.dtype(dtype).name)
     # dot_lane contracts b's axis 1 (the "in" index), so H (out, in) and
     # Phi (out, D) are passed as-is.  Step-1 cos/sin enter STACKED (2 n1,
@@ -785,6 +796,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                     bytes_accessed=2 * f_total * N
                     * np.dtype(dtype).itemsize,
                     transcendentals=0),
+                compiler_params=cparams,
                 interpret=interpret,
             )(x3, s3, *tables)
             if _debug_stage == "kernel" or flat_out:
@@ -848,6 +860,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                 flops=int(8 * N * (n1 + n2) * f_total),
                 bytes_accessed=2 * f_total * N * np.dtype(dtype).itemsize,
                 transcendentals=0),
+            compiler_params=cparams,
             interpret=interpret,
         )(x3, s3, *tables)
         if _debug_stage == "kernel":
@@ -890,6 +903,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
             flops=int(8 * N * (n1 + 2 * n2) * f_total),
             bytes_accessed=3 * f_total * N * np.dtype(dtype).itemsize,
             transcendentals=0),
+        compiler_params=cparams,
         interpret=interpret,
     )(x3, s3, *tables)
     if _debug_stage == "kernel":
