@@ -131,6 +131,28 @@ def spectrogram_ri(x: jnp.ndarray, nfft: int = 1024, *,
     return _fft.fft_ri(frames, jnp.zeros_like(frames))
 
 
+@functools.lru_cache(maxsize=None)
+def _synth_idft_f64(nfft: int, window: str, onesided: bool):
+    """(cos, sin) synthesis tables folding the inverse DFT, the Hermitian
+    doubling weights, 1/nfft, AND the synthesis window into one matmul
+    pair: frame = sr @ C + si @ S (host f64, exact mod-N phase
+    reduction).  The istft analog of :func:`_windowed_dft_f64`."""
+    t = np.arange(nfft, dtype=np.int64)[None, :]
+    nb = nfft // 2 + 1 if onesided else nfft
+    k = np.arange(nb, dtype=np.int64)[:, None]
+    ang = (2.0 * np.pi / nfft) * ((t * k) % nfft)
+    if onesided:
+        ck = np.full((nb, 1), 2.0)
+        ck[0] = 1.0
+        if nfft % 2 == 0:
+            ck[-1] = 1.0
+    else:
+        ck = np.ones((nb, 1))
+    w = window_taps(window, nfft)[None, :] * ck / nfft
+    return np.ascontiguousarray(w * np.cos(ang)), \
+        np.ascontiguousarray(-w * np.sin(ang))
+
+
 def stft_ri(x: jnp.ndarray, nfft: int = 1024, *,
             hop: Optional[int] = None, window: str = "hann",
             onesided: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -145,7 +167,7 @@ def stft_ri(x: jnp.ndarray, nfft: int = 1024, *,
 
 def istft_ri(sr: jnp.ndarray, si: jnp.ndarray, nfft: int = 1024, *,
              hop: Optional[int] = None, window: str = "hann",
-             onesided: bool = True) -> jnp.ndarray:
+             onesided: bool = True, method: str = "auto") -> jnp.ndarray:
     """Inverse STFT via weighted overlap-add: (..., nframes, nbins) planes
     -> (..., (nframes-1)*hop + nfft) real signal.
 
@@ -156,19 +178,34 @@ def istft_ri(sr: jnp.ndarray, si: jnp.ndarray, nfft: int = 1024, *,
     with q = nfft // hop, the overlap-add is q shifted pad-and-adds on the
     frame axis — pure reshapes/pads, no scatter.  The normalizer is a
     host-side float64 constant.  Requires hop | nfft.
+
+    method: 'fft' (inverse four-step engine + window multiply), 'direct'
+    (TWO dense matmuls against synthesis tables folding the inverse DFT,
+    Hermitian weights, 1/nfft and the window — the istft mirror of the
+    stft direct route), or 'auto' (direct for nfft <= 2048, the measured
+    stft crossover).
     """
     hop = hop or nfft // 2
     if nfft % hop:
         raise ValueError(f"hop={hop} must divide nfft={nfft}")
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError(f"unknown method {method!r}")
     q = nfft // hop
-    if onesided:
+    w64 = window_taps(window, nfft)
+    if method == "direct" or (method == "auto" and nfft <= 2048):
+        cr64, ci64 = _synth_idft_f64(nfft, window, onesided)
+        dot = functools.partial(jnp.dot,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=sr.dtype)
+        fw = dot(sr, jnp.asarray(cr64, dtype=sr.dtype)) \
+            + dot(si, jnp.asarray(ci64, dtype=sr.dtype))
+    elif onesided:
         frames = _fft.irfft_ri(sr, si, nfft)     # (..., F, nfft)
+        fw = frames * jnp.asarray(w64, dtype=frames.dtype)
     else:
         frames, _ = _fft.ifft_ri(sr, si)
-    nframes = frames.shape[-2]
-    w64 = window_taps(window, nfft)
-    w = jnp.asarray(w64, dtype=frames.dtype)
-    fw = frames * w                              # synthesis re-weighting
+        fw = frames * jnp.asarray(w64, dtype=frames.dtype)
+    nframes = fw.shape[-2]
     # Overlap-add: split each frame into q hop-chunks; chunk j of frame f
     # lands at output block f + j.  Shift = pad on the frame axis.
     fw = fw.reshape(fw.shape[:-1] + (q, hop))    # (..., F, q, hop)

@@ -264,6 +264,26 @@ def test_stft_matches_scipy(rng):
     assert np.max(np.abs(got - ref)) < 1e-9 * np.max(np.abs(ref))
 
 
+def test_istft_direct_matches_fft_route(rng):
+    """The direct synthesis-matmul route (inverse DFT + Hermitian weights
+    + window folded into one table pair) equals the engine route for
+    every config class: overlapped/non-overlapped, one/two-sided, odd
+    nfft."""
+    for nfft, hop, win, onesided in [(256, 128, "hann", True),
+                                     (256, 64, "hamming", True),
+                                     (128, 128, "rect", True),
+                                     (64, 16, "hann", False),
+                                     (250, 125, "hann", True)]:
+        x = rng.standard_normal((2, 8 * nfft))
+        sr, si = stft_ri(jnp.asarray(x), nfft=nfft, hop=hop, window=win,
+                         onesided=onesided)
+        y_fft = np.asarray(istft_ri(sr, si, nfft=nfft, hop=hop, window=win,
+                                    onesided=onesided, method="fft"))
+        y_dir = np.asarray(istft_ri(sr, si, nfft=nfft, hop=hop, window=win,
+                                    onesided=onesided, method="direct"))
+        assert np.max(np.abs(y_fft - y_dir)) < 1e-11, (nfft, hop, win)
+
+
 def test_istft_rejects_bad_hop(rng):
     sr = jnp.zeros((4, 33))
     with pytest.raises(ValueError):
