@@ -136,6 +136,54 @@ def bandstop_taps(num_taps: int, f_lo: float, f_hi: float, fs: float = 2.0,
         window, atten_db)
 
 
+def firwin(num_taps: int, cutoff, *, window="hamming",
+           pass_zero=True, fs: float = 2.0,
+           atten_db: float = 80.0) -> np.ndarray:
+    """scipy.signal.firwin-compatible windowed-sinc FIR design — the
+    familiar entry point over the same :func:`_firwin_bands` machinery
+    as the typed helpers ({low,high,band}pass_taps / bandstop_taps).
+
+    ``cutoff``: scalar or ascending edge list (units of ``fs``).
+    ``pass_zero``: True/'lowpass'/'bandstop' put a passband at DC;
+    False/'highpass'/'bandpass' start with a stopband.  ``window`` takes
+    any design/windows.get_window spec (plus 'kaiser', which uses
+    ``atten_db`` via the Kaiser formula).  Validated tap-for-tap against
+    scipy.signal.firwin in tests/test_design_fir.py.
+    """
+    edges = np.atleast_1d(np.asarray(cutoff, dtype=np.float64))
+    if np.any(np.diff(edges) <= 0):
+        raise ValueError("cutoff edges must be strictly ascending")
+    norm = list(2.0 * edges / fs)
+    if isinstance(pass_zero, str):
+        if pass_zero in ("lowpass", "bandstop"):
+            pass_zero = True
+        elif pass_zero in ("highpass", "bandpass"):
+            pass_zero = False
+        else:
+            raise ValueError(f"unknown pass_zero {pass_zero!r}")
+    pts = ([0.0] if pass_zero else []) + norm
+    if len(pts) % 2 == 1:
+        pts = pts + [1.0]
+    bands = [(pts[i], pts[i + 1]) for i in range(0, len(pts), 2)]
+    if window in ("kaiser", "hamming", "blackman", "rect"):
+        return _firwin_bands(num_taps, bands, window, atten_db)
+    # Arbitrary get_window specs (tuples, names): reuse the multi-band
+    # sinc construction with the framework's own symmetric window.
+    m = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    h = np.zeros(num_taps)
+    for left, right in bands:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+    h *= _window_taps_sym(window, num_taps)
+    if bands[0][0] == 0.0:
+        scale_f = 0.0
+    elif bands[-1][1] == 1.0:
+        scale_f = 1.0
+    else:
+        scale_f = 0.5 * (bands[0][0] + bands[0][1])
+    c = np.cos(np.pi * m * scale_f)
+    return h / np.sum(h * c)
+
+
 def resampler_taps(up: int, down: int, taps_per_phase: int = 24,
                    atten_db: float = 80.0) -> np.ndarray:
     """Anti-alias prototype for rational up/down resampling.

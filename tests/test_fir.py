@@ -30,6 +30,45 @@ def test_lowpass_taps_match_firwin():
     assert np.max(np.abs(ours - theirs)) < 1e-12
 
 
+def test_firwin_scipy_parity_all_band_types():
+    """The scipy-named entry point matches scipy.signal.firwin
+    tap-for-tap across lowpass/highpass/bandpass/bandstop/multiband and
+    window specs."""
+    from simpledsp_tpu.design import firwin
+
+    cases = [
+        dict(num_taps=65, cutoff=0.3, pass_zero=True),
+        dict(num_taps=65, cutoff=0.3, pass_zero=False),
+        dict(num_taps=64, cutoff=[0.2, 0.4], pass_zero=False),
+        dict(num_taps=65, cutoff=[0.2, 0.4], pass_zero=True),
+        dict(num_taps=101, cutoff=[0.1, 0.2, 0.35, 0.45],
+             pass_zero="bandstop"),
+        dict(num_taps=101, cutoff=[0.1, 0.2, 0.35, 0.45],
+             pass_zero="bandpass"),
+        dict(num_taps=73, cutoff=0.25, pass_zero="lowpass",
+             window=("chebwin", 70)),
+        dict(num_taps=73, cutoff=0.25, pass_zero=True, window="blackman"),
+    ]
+    for kw in cases:
+        window = kw.pop("window", "hamming")
+        ours = firwin(kw["num_taps"], kw["cutoff"], window=window,
+                      pass_zero=kw["pass_zero"])
+        theirs = sig.firwin(kw["num_taps"], kw["cutoff"], window=window,
+                            pass_zero=kw["pass_zero"])
+        assert np.max(np.abs(ours - theirs)) < 1e-12, kw
+
+
+def test_firwin_rejects_bad_args():
+    from simpledsp_tpu.design import firwin
+
+    with pytest.raises(ValueError):
+        firwin(64, [0.4, 0.2])                       # non-ascending edges
+    with pytest.raises(ValueError):
+        firwin(64, 0.3, pass_zero="sideways")        # unknown mode
+    with pytest.raises(ValueError):
+        firwin(64, 0.3, pass_zero=False)             # even taps @ Nyquist
+
+
 def test_fir_filter_matches_lfilter():
     rng = np.random.default_rng(20)
     h = lowpass_taps(63, 0.25)
