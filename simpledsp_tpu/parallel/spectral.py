@@ -83,7 +83,17 @@ class ShardedSTFT:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x: jnp.ndarray, *, padded: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``padded=False`` (default) returns exactly stft_ri's
+        ``(T - nfft)//hop + 1`` frames.  The trailing slice is uneven
+        against the frame sharding, so UNDER AN ENCLOSING JIT the SPMD
+        partitioner must all-gather both spectrogram planes to apply it
+        (measured 2 x 268 MB at the bench shape — tools/collective_budget).
+        Composed-jit callers should pass ``padded=True``: the planes stay
+        frame-sharded with ``T//hop`` frames, of which the last
+        ``nfft//hop - 1`` are zero-lookahead tail frames to drop (or
+        ignore) after the final fetch."""
         if x.ndim != 2:
             raise ValueError("ShardedSTFT expects x of shape (C, T)")
         c, t = x.shape
@@ -97,6 +107,8 @@ class ShardedSTFT:
                 f"local shard of {t_local} samples is shorter than the "
                 f"{self.halo}-sample look-ahead; use fewer sequence shards")
         sr, si = self._build(c, t)(x.astype(self.dtype))
+        if padded:
+            return sr, si
         # Trailing frames of the last shard were computed from zero
         # padding; the valid global count is stft_ri's.
         nframes = (t - self.nfft) // self.hop + 1

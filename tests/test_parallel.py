@@ -317,3 +317,17 @@ class TestShardedSTFT:
         from simpledsp_tpu.parallel.spectral import ShardedSTFT
         with pytest.raises(ValueError, match="hop"):
             ShardedSTFT(mesh18, nfft=256, hop=96)
+
+    def test_padded_keeps_frames_sharded(self, mesh18, rng):
+        """padded=True returns uniform T//hop frames (no gather-forcing
+        trailing slice; the composed-jit form — tools/collective_budget);
+        the valid prefix equals the unpadded result."""
+        from simpledsp_tpu.parallel.spectral import ShardedSTFT
+        x = rng.standard_normal((2, 8 * 512))
+        st = ShardedSTFT(mesh18, nfft=128, hop=64, dtype=jnp.float64)
+        pr, pi = st(jnp.asarray(x), padded=True)
+        gr, gi = st(jnp.asarray(x))
+        assert pr.shape[1] == x.shape[1] // 64
+        nf = gr.shape[1]
+        np.testing.assert_array_equal(np.asarray(pr)[:, :nf], np.asarray(gr))
+        np.testing.assert_array_equal(np.asarray(pi)[:, :nf], np.asarray(gi))
