@@ -28,7 +28,7 @@ import numpy as np
 
 from simpledsp_tpu.ops.fft import _as_ri, _pick_real_dtype, fft_ri, ifft_ri
 
-__all__ = ["convolve", "correlate"]
+__all__ = ["convolve", "correlate", "correlation_lags", "deconvolve"]
 
 # Trace-time switch for the fused OLS kernel route (kernels/ols.py) —
 # measured 3.9x over the XLA overlap-save route within one process
@@ -189,3 +189,44 @@ def correlate(x: jnp.ndarray, h, mode: str = "full", *,
         # overlap-save route available under jit).
         h = np.conj(np.asarray(h))[::-1]
     return convolve(x, h, mode, method=method, dtype=dtype)
+
+
+def correlation_lags(in1_len: int, in2_len: int,
+                     mode: str = "full") -> np.ndarray:
+    """Lag indices for the output of :func:`correlate`
+    (scipy.signal.correlation_lags semantics) — host-side metadata, so a
+    plain numpy array."""
+    if mode == "full":
+        return np.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = np.arange(-in2_len + 1, in1_len)
+        mid = lags.size // 2
+        lo = mid - in1_len // 2
+        return lags[lo: lo + in1_len]
+    if mode == "valid":
+        lo, hi = sorted((in1_len, in2_len))
+        return np.arange(hi - lo + 1) + min(0, in1_len - in2_len)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def deconvolve(signal: jnp.ndarray, divisor
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Polynomial deconvolution (scipy.signal.deconvolve semantics):
+    quotient q and remainder r with ``signal = convolve(divisor, q) + r``.
+    Long division IS the IIR recurrence
+    ``q[k] = (s[k] - sum_{j>=1} div[j] q[k-j]) / div[0]`` — i.e. the
+    framework's own ``lfilter([1], divisor, signal[:n])`` — so the
+    quotient runs through the existing scan/state machinery, batched over
+    leading axes.  ``divisor`` is a concrete 1-D tap vector."""
+    from simpledsp_tpu.ops.lfilter import lfilter
+
+    div = np.asarray(divisor, dtype=np.float64)
+    if div.ndim != 1 or div.size == 0 or div[0] == 0.0:
+        raise ValueError("divisor must be 1-D with a nonzero leading tap")
+    n = signal.shape[-1] - div.size + 1
+    if n < 1:
+        return (jnp.zeros(signal.shape[:-1] + (0,), signal.dtype),
+                signal)
+    quot, _ = lfilter(np.ones(1), div, signal[..., :n])
+    rem = signal - convolve(quot, div, mode="full")[..., : signal.shape[-1]]
+    return quot, rem

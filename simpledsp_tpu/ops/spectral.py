@@ -19,7 +19,8 @@ import numpy as np
 from simpledsp_tpu.ops import fft as _fft
 
 __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
-           "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram"]
+           "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram",
+           "lombscargle"]
 
 
 def window_taps(kind, n: int) -> np.ndarray:
@@ -267,6 +268,49 @@ def coherence(x: jnp.ndarray, y: jnp.ndarray, nfft: int = 1024, *,
     _, pyy = welch_psd(y, nfft, fs=fs, window=window, overlap=overlap,
                        detrend=detrend)
     return freqs, (pr * pr + pi * pi) / (pxx * pyy)
+
+
+def lombscargle(x: jnp.ndarray, y: jnp.ndarray, freqs,
+                *, precenter: bool = False,
+                normalize: bool = False) -> jnp.ndarray:
+    """Lomb-Scargle periodogram of UNEVENLY sampled data
+    (scipy.signal.lombscargle semantics: x sample times, y values, freqs
+    in rad/s).  The classic tau-shifted form, vectorized over frequencies
+    — the per-frequency sums become (..., N) @ (N, F) matmuls (MXU) and
+    the tau rotation is done implicitly via the double-angle atan2, so no
+    per-frequency Python loop exists.  y may carry leading batch dims
+    over a shared time base x."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if x.ndim != 1:
+        raise ValueError("x must be 1-D sample times")
+    if y.shape[-1] != x.shape[0]:
+        raise ValueError(f"y trailing axis {y.shape[-1]} != len(x) "
+                         f"{x.shape[0]}")
+    freqs = jnp.asarray(freqs, dtype=x.dtype)
+    if precenter:
+        y = y - jnp.mean(y, axis=-1, keepdims=True)
+    ang = freqs[:, None] * x[None, :]                     # (F, N)
+    c = jnp.cos(ang)
+    s = jnp.sin(ang)
+    # tan(2 w tau) = sum sin 2wx / sum cos 2wx, via double angles.
+    s2 = 2.0 * jnp.sum(s * c, axis=-1)
+    c2 = jnp.sum((c - s) * (c + s), axis=-1)
+    two_wt = jnp.arctan2(s2, c2)
+    ct = jnp.cos(0.5 * two_wt)[:, None]                   # cos(w tau)
+    st = jnp.sin(0.5 * two_wt)[:, None]
+    cshift = c * ct + s * st                              # cos w(x - tau)
+    sshift = s * ct - c * st
+    dot = functools.partial(jnp.einsum,
+                            precision=jax.lax.Precision.HIGHEST)
+    yc = dot("...n,fn->...f", y, cshift)
+    ys = dot("...n,fn->...f", y, sshift)
+    cc = jnp.sum(cshift * cshift, axis=-1)                # (F,)
+    ss_ = jnp.sum(sshift * sshift, axis=-1)
+    pgram = 0.5 * (yc * yc / cc + ys * ys / ss_)
+    if normalize:
+        pgram = pgram * (2.0 / jnp.sum(y * y, axis=-1, keepdims=True))
+    return pgram
 
 
 def periodogram(x: jnp.ndarray, *, fs: float = 1.0,

@@ -21,7 +21,8 @@ from typing import Optional, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["chirp", "square", "sawtooth", "gausspulse", "unit_impulse"]
+__all__ = ["chirp", "square", "sawtooth", "gausspulse", "unit_impulse",
+           "sweep_poly", "max_len_seq"]
 
 
 def chirp(t: jnp.ndarray, f0: float, t1: float, f1: float, *,
@@ -107,6 +108,69 @@ def gausspulse(t: jnp.ndarray, fc: float = 1000.0, bw: float = 0.5,
     if not quadrature:
         return yi
     return yi, env * jnp.sin(2.0 * math.pi * fc * t)
+
+
+def sweep_poly(t: jnp.ndarray, poly, phi: float = 0.0) -> jnp.ndarray:
+    """Frequency-swept cosine whose instantaneous frequency follows the
+    polynomial ``poly`` (highest degree first, numpy.poly1d convention —
+    scipy.signal.sweep_poly semantics).  The phase polynomial (the
+    frequency's antiderivative) is integrated host-side in float64 and
+    evaluated on device by Horner's rule.  phi in degrees."""
+    coeffs = np.asarray(np.atleast_1d(np.poly1d(poly).coeffs), np.float64)
+    intc = np.polyint(coeffs)           # degree+1 coeffs, zero constant
+    phase = jnp.zeros_like(t)
+    for c in intc:
+        phase = phase * t + c
+    return jnp.cos(2.0 * math.pi * phase + math.pi * phi / 180.0)
+
+
+# Primitive LFSR feedback taps per register length (Zierler/Peterson
+# tables — the same defaults scipy.signal.max_len_seq ships).
+_MLS_TAPS = {2: [1], 3: [2], 4: [3], 5: [3], 6: [5], 7: [6],
+             8: [7, 6, 1], 9: [5], 10: [7], 11: [9], 12: [11, 10, 4],
+             13: [12, 11, 8], 14: [13, 12, 2], 15: [14], 16: [15, 13, 4],
+             17: [14], 18: [11], 19: [18, 17, 14], 20: [17], 21: [19],
+             22: [21], 23: [18], 24: [23, 22, 17], 25: [22], 26: [25, 24, 20],
+             27: [26, 25, 22], 28: [25], 29: [27], 30: [29, 28, 7],
+             31: [28], 32: [31, 30, 10]}
+
+
+def max_len_seq(nbits: int, state: Optional[np.ndarray] = None,
+                length: Optional[int] = None,
+                taps: Optional[list] = None
+                ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """Maximum-length sequence (MLS) generator
+    (scipy.signal.max_len_seq semantics): returns ``length`` bits (default
+    the full period 2**nbits - 1) of the binary sequence plus the final
+    LFSR state for streaming continuation.  The Fibonacci LFSR is
+    inherently serial bit work, so it runs host-side (numpy); the
+    returned sequence is a device array ready for correlation/system-id
+    pipelines (MLS's flat spectrum is the standard excitation for
+    impulse-response measurement)."""
+    if taps is None:
+        if nbits not in _MLS_TAPS:
+            raise ValueError(f"nbits={nbits} needs explicit taps "
+                             f"(defaults cover 2..32)")
+        taps = _MLS_TAPS[nbits]
+    taps = sorted(set(int(x) for x in taps), reverse=True)
+    if taps[0] >= nbits or taps[-1] < 1:
+        raise ValueError(f"taps must lie in [1, nbits), got {taps}")
+    n_out = (1 << nbits) - 1 if length is None else int(length)
+    if state is None:
+        st = np.ones(nbits, dtype=np.int8)
+    else:
+        st = (np.asarray(state) != 0).astype(np.int8)
+        if st.shape != (nbits,) or not st.any():
+            raise ValueError("state must be nbits long and not all-zero")
+    seq = np.empty(n_out, dtype=np.int8)
+    for i in range(n_out):
+        fb = st[0]
+        seq[i] = fb
+        for t_ in taps:
+            fb ^= st[t_]
+        st = np.roll(st, -1)
+        st[-1] = fb
+    return jnp.asarray(seq), st
 
 
 def unit_impulse(shape, idx: Optional[Union[int, Tuple[int, ...]]] = None,

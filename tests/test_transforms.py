@@ -300,3 +300,56 @@ def test_convolve_long_signal_ols_route(rng):
         ref = np.stack([ss.fftconvolve(x[i], h, mode) for i in range(2)])
         assert got.shape == ref.shape
         assert np.max(np.abs(got - ref)) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# deconvolve / correlation_lags / lombscargle (round-4 breadth)
+# ---------------------------------------------------------------------------
+
+from simpledsp_tpu.ops.conv import correlation_lags, deconvolve  # noqa: E402
+from simpledsp_tpu.ops.spectral import lombscargle  # noqa: E402
+
+
+def test_deconvolve_matches_scipy(rng):
+    sig_ = rng.standard_normal(100)
+    div = np.array([1.5, 0.7, -0.3])
+    q, r = deconvolve(jnp.asarray(sig_), div)
+    qs, rs = ss.deconvolve(sig_, div)
+    np.testing.assert_allclose(np.asarray(q), qs, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r), rs, atol=1e-12)
+    # identity: signal == convolve(divisor, q) + r, batched
+    sb = rng.standard_normal((3, 60))
+    qb, rb = deconvolve(jnp.asarray(sb), div)
+    recon = np.stack([np.convolve(div, np.asarray(qb[i]))[:60]
+                      + np.asarray(rb[i]) for i in range(3)])
+    np.testing.assert_allclose(recon, sb, atol=1e-12)
+    with pytest.raises(ValueError):
+        deconvolve(jnp.asarray(sig_), np.array([0.0, 1.0]))
+
+
+def test_correlation_lags_matches_scipy():
+    for mode in ("full", "same", "valid"):
+        for a, b in [(10, 7), (7, 10), (8, 8), (5, 1)]:
+            np.testing.assert_array_equal(correlation_lags(a, b, mode),
+                                          ss.correlation_lags(a, b, mode))
+    with pytest.raises(ValueError):
+        correlation_lags(4, 4, "sideways")
+
+
+def test_lombscargle_matches_scipy(rng):
+    x = np.sort(rng.uniform(0, 10, 400))
+    y = np.sin(2.3 * x) + 0.5 * rng.standard_normal(400)
+    freqs = np.linspace(0.1, 10, 200)
+    for pc in (False, True):
+        for nm in (False, True):
+            ours = np.asarray(lombscargle(jnp.asarray(x), jnp.asarray(y),
+                                          freqs, precenter=pc, normalize=nm))
+            ref = ss.lombscargle(x, y, freqs, precenter=pc, normalize=nm)
+            np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
+    # batched y over shared time base
+    yb = np.stack([y, 2.0 * y])
+    ob = np.asarray(lombscargle(jnp.asarray(x), jnp.asarray(yb), freqs))
+    np.testing.assert_allclose(ob[1], ss.lombscargle(x, 2.0 * y, freqs),
+                               rtol=1e-10)
+    with pytest.raises(ValueError):
+        lombscargle(jnp.zeros((2, 4)), jnp.zeros(4), freqs)

@@ -6,8 +6,9 @@ import scipy.signal as sig
 
 import jax.numpy as jnp
 
-from simpledsp_tpu.ops.waveforms import (chirp, gausspulse, sawtooth,
-                                         square, unit_impulse)
+from simpledsp_tpu.ops.waveforms import (chirp, gausspulse, max_len_seq,
+                                         sawtooth, square, sweep_poly,
+                                         unit_impulse)
 
 
 @pytest.fixture
@@ -85,3 +86,38 @@ def test_unit_impulse_matches_scipy():
     np.testing.assert_array_equal(
         np.asarray(unit_impulse((3, 4), (1, 3))),
         sig.unit_impulse((3, 4), (1, 3)))
+
+
+def test_sweep_poly_matches_scipy(t):
+    p = np.poly1d([0.05, -0.75, 2.0, 1.0])
+    got = np.asarray(sweep_poly(jnp.asarray(t), p, phi=25.0))
+    want = sig.sweep_poly(t, p, phi=25.0)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    # plain list form
+    got2 = np.asarray(sweep_poly(jnp.asarray(t), [1.0, 2.0]))
+    np.testing.assert_allclose(got2, sig.sweep_poly(t, np.poly1d([1.0, 2.0])),
+                               atol=1e-10)
+
+
+@pytest.mark.parametrize("nbits", [4, 8, 12])
+def test_max_len_seq_matches_scipy(nbits):
+    ours, st = max_len_seq(nbits)
+    ref, rst = sig.max_len_seq(nbits)
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+    np.testing.assert_array_equal(st, rst)
+
+
+def test_max_len_seq_streaming_and_flat_spectrum():
+    a1, s1 = max_len_seq(8, length=100)
+    a2, _ = max_len_seq(8, state=s1, length=155)
+    full, _ = max_len_seq(8)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(a1), np.asarray(a2)]), np.asarray(full))
+    # The defining MLS property: +-1 sequence has a flat spectrum.
+    bip = 2.0 * np.asarray(full, dtype=np.float64) - 1.0
+    mag = np.abs(np.fft.fft(bip))[1:]
+    np.testing.assert_allclose(mag, np.full(mag.shape, mag[0]), rtol=1e-9)
+    with pytest.raises(ValueError):
+        max_len_seq(64)                        # no default taps
+    with pytest.raises(ValueError):
+        max_len_seq(8, state=np.zeros(8))      # all-zero state
