@@ -20,10 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from simpledsp_tpu.ops.spectral import stft_ri
+from simpledsp_tpu.ops.spectral import istft_ri, stft_ri
 from simpledsp_tpu.ops.transforms import dct
 
-__all__ = ["mel_filterbank", "MelSpectrogram", "mfcc"]
+__all__ = ["mel_filterbank", "MelSpectrogram", "mfcc", "griffin_lim"]
 
 
 def _hz_to_mel(f):
@@ -113,6 +113,54 @@ def mfcc(x: jnp.ndarray, n_mfcc: int = 13, *, nfft: int = 512,
     mel = MelSpectrogram(nfft, hop, n_mels, fs, fmin=fmin, fmax=fmax,
                          window=window, log=True, dtype=dtype)(x)
     return dct(mel, type=2, norm="ortho")[..., :n_mfcc]
+
+
+def griffin_lim(mag: jnp.ndarray, *, nfft: Optional[int] = None,
+                hop: Optional[int] = None, window: str = "hann",
+                n_iter: int = 50, momentum: float = 0.99,
+                length: Optional[int] = None) -> jnp.ndarray:
+    """Griffin-Lim phase reconstruction: magnitude spectrogram
+    (..., nframes, nfft//2 + 1) -> real signal.
+
+    The fast-GL accelerated iteration (momentum extrapolation before the
+    magnitude projection; momentum=0 recovers classic Griffin-Lim 1984):
+    alternate istft (least-squares weighted-OLA inverse) and stft, keep
+    the rebuilt phase, re-impose the target magnitude.  Entirely in the
+    framework's RI planes — no complex dtypes, no angle/exp calls (the
+    phase is carried as a unit vector renormalized by rsqrt) — and the
+    whole n_iter loop is ONE jittable `lax.fori_loop` program whose
+    stft/istft bodies are the direct windowed-DFT matmul routes (MXU).
+    ``length`` crops the output signal (librosa semantics).
+    """
+    mag = jnp.asarray(mag)
+    nbins = mag.shape[-1]
+    nfft = int(nfft or 2 * (nbins - 1))
+    if nfft // 2 + 1 != nbins:
+        raise ValueError(f"mag has {nbins} bins, inconsistent with "
+                         f"nfft={nfft}")
+    hop = int(hop or nfft // 2)
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    eps = jnp.asarray(1e-16, mag.dtype)
+    mom = float(momentum)
+
+    def project(sr, si):
+        y = istft_ri(sr, si, nfft, hop=hop, window=window)
+        return stft_ri(y, nfft, hop=hop, window=window)
+
+    def body(_, carry):
+        sr, si, pr, pi = carry
+        tr, ti = project(sr, si)
+        er = tr + mom * (tr - pr)          # fast-GL extrapolation
+        ei = ti + mom * (ti - pi)
+        inv = jax.lax.rsqrt(er * er + ei * ei + eps)
+        return mag * er * inv, mag * ei * inv, tr, ti
+
+    zeros = jnp.zeros_like(mag)
+    sr, si, _, _ = jax.lax.fori_loop(
+        0, int(n_iter), body, (mag, zeros, mag, zeros))
+    y = istft_ri(sr, si, nfft, hop=hop, window=window)
+    return y if length is None else y[..., :length]
 
 
 def _mel_bin_of_hz(f: float, n_mels: int, fs: float, fmin: float = 0.0,

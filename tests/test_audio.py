@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 import scipy.fft as sfft
 
+import jax
 import jax.numpy as jnp
 
 from simpledsp_tpu.models.audio import (
@@ -87,3 +88,38 @@ class TestMFCC:
         with pytest.raises(ValueError):
             mfcc(jnp.asarray(rng.standard_normal(2048)), n_mfcc=99,
                  n_mels=40)
+
+
+class TestGriffinLim:
+    def test_spectral_convergence(self, rng):
+        """The defining GL property: |stft(y)| approaches the target
+        magnitude monotonically with iterations."""
+        from simpledsp_tpu.models.audio import griffin_lim
+        from simpledsp_tpu.ops.spectral import stft_ri
+        t = np.arange(8192)
+        x = np.sin(2 * np.pi * 0.03 * t) + 0.5 * np.sin(
+            2 * np.pi * 0.11 * t + 1.0)
+        sr, si = stft_ri(jnp.asarray(x), 512, hop=128)
+        mag = jnp.hypot(sr, si)
+
+        def err(n):
+            y = griffin_lim(mag, nfft=512, hop=128, n_iter=n)
+            yr, yi = stft_ri(y, 512, hop=128)
+            m2 = jnp.hypot(yr, yi)
+            return float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+
+        e0, e5, e50 = err(0), err(5), err(50)
+        assert e5 < e0 and e50 < e5
+        assert e50 < 0.15
+
+    def test_jit_shapes_and_args(self, rng):
+        from simpledsp_tpu.models.audio import griffin_lim
+        mag = jnp.asarray(np.abs(rng.standard_normal((2, 9, 129))))
+        y = jax.jit(lambda m: griffin_lim(m, hop=64, n_iter=3))(mag)
+        assert y.shape == (2, (9 - 1) * 64 + 256)
+        y2 = griffin_lim(mag, hop=64, n_iter=3, length=300)
+        assert y2.shape == (2, 300)
+        with pytest.raises(ValueError):
+            griffin_lim(mag, nfft=512, n_iter=3)   # bins mismatch
+        with pytest.raises(ValueError):
+            griffin_lim(mag, n_iter=-1)
