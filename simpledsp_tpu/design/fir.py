@@ -136,6 +136,42 @@ def bandstop_taps(num_taps: int, f_lo: float, f_hi: float, fs: float = 2.0,
         window, atten_db)
 
 
+def rrc_taps(sps: int, span: int, beta: float) -> np.ndarray:
+    """Root-raised-cosine pulse-shaping filter (host f64): ``sps`` samples
+    per symbol, TOTAL ``span`` symbols (the MATLAB ``rcosdesign``
+    convention — length ``span * sps + 1``, odd, group delay the integer
+    ``span * sps / 2`` samples; ``span * sps`` must be even), roll-off
+    ``beta`` in (0, 1].
+
+    Standard closed form with the removable singularities at t = 0 and
+    |t| = 1/(4 beta) evaluated by their limits; normalized to unit energy
+    so a TX RRC -> matched RX RRC cascade yields a raised-cosine with
+    unity gain and (asymptotically) zero ISI at symbol-spaced samples —
+    the property tests/test_comms.py gates."""
+    if sps < 1 or span < 1:
+        raise ValueError("sps and span must be >= 1")
+    if not 0.0 < beta <= 1.0:
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    if (span * sps) % 2:
+        raise ValueError(f"span * sps must be even, got {span}*{sps}")
+    n = span * sps // 2
+    t = (np.arange(-n, n + 1, dtype=np.float64)) / sps   # in symbols
+    h = np.empty_like(t)
+    for i, ti in enumerate(t):
+        if abs(ti) < 1e-12:
+            h[i] = 1.0 + beta * (4.0 / np.pi - 1.0)
+        elif abs(abs(ti) - 1.0 / (4.0 * beta)) < 1e-12:
+            h[i] = (beta / np.sqrt(2.0)) * (
+                (1.0 + 2.0 / np.pi) * np.sin(np.pi / (4.0 * beta))
+                + (1.0 - 2.0 / np.pi) * np.cos(np.pi / (4.0 * beta)))
+        else:
+            num = (np.sin(np.pi * ti * (1.0 - beta))
+                   + 4.0 * beta * ti * np.cos(np.pi * ti * (1.0 + beta)))
+            den = np.pi * ti * (1.0 - (4.0 * beta * ti) ** 2)
+            h[i] = num / den
+    return h / np.sqrt(np.sum(h * h))
+
+
 def firwin(num_taps: int, cutoff, *, window="hamming",
            pass_zero=True, fs: float = 2.0,
            atten_db: float = 80.0) -> np.ndarray:
