@@ -109,3 +109,38 @@ class TestConv2d:
             convolve2d(x, rng.standard_normal((7, 7)), "valid")
         with pytest.raises(ValueError):
             convolve2d(x, k, method="winograd")
+
+
+class TestFusedConv2dKernel:
+    """kernels/conv2d.py — the fused direct kernel vs the XLA shifted-FMA
+    oracle (interpret mode on CPU; the compiled path is A/B'd bit-exact
+    on chip, see ops/conv2d.py:_FUSED_DIRECT note)."""
+
+    @pytest.mark.parametrize("shape,ks", [
+        ((2, 70, 90), (9, 9)),
+        ((1, 130, 200), (5, 7)),
+        ((3, 2, 40, 50), (3, 3)),
+        ((1, 128, 128), (13, 13)),
+        ((1, 17, 33), (4, 2)),
+        ((1, 8, 130), (1, 3)),
+    ])
+    def test_matches_direct_oracle(self, rng, shape, ks):
+        from simpledsp_tpu.kernels.conv2d import conv2d_valid_fused
+        from simpledsp_tpu.ops.conv2d import _conv2d_direct_real
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        k = rng.standard_normal(ks)
+        ref = _conv2d_direct_real(x, jnp.asarray(k, jnp.float32))
+        got = conv2d_valid_fused(x, k, interpret=True)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_gate_and_errors(self, rng):
+        from simpledsp_tpu.kernels.conv2d import (conv2d_fused_supported,
+                                                  conv2d_valid_fused)
+        assert conv2d_fused_supported(520, 520, 9, 9)
+        assert not conv2d_fused_supported(520, 520, 15, 15)  # > 169 taps
+        assert not conv2d_fused_supported(4000, 4000, 9, 9)  # VMEM
+        with pytest.raises(ValueError):
+            conv2d_valid_fused(jnp.zeros((1, 4, 4), jnp.float32),
+                               np.ones((9, 9)), interpret=True)
