@@ -257,6 +257,47 @@ def _cmd_mfcc(args) -> int:
     return 0
 
 
+def _cmd_modem_sim(args) -> int:
+    """Self-contained BER simulation: bits -> RRC TX -> AWGN -> matched
+    RX -> BER, one JSON line per Eb/N0 point (measured vs theory)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from simpledsp_tpu.models.comms import (Constellation, LinearModem,
+                                            awgn, ber)
+
+    const = {"bpsk": Constellation.bpsk, "qpsk": Constellation.qpsk,
+             "qam16": lambda: Constellation.qam(16),
+             "qam64": lambda: Constellation.qam(64)}[args.constellation]()
+    modem = LinearModem(const, sps=args.sps, span=args.span,
+                        beta=args.beta)
+    k = const.bits_per_symbol
+    rng = np.random.default_rng(args.seed)
+    bits = jnp.asarray(rng.integers(0, 2, (args.symbols * k,)))
+    xr, xi = modem.modulate(bits)
+    n_ok = (args.symbols - modem.delay_symbols) * k
+    records = []
+    lo, hi, step = (float(v) for v in args.ebn0.split(":"))
+    for i, ebn0 in enumerate(np.arange(lo, hi + 1e-9, step)):
+        snr_db = (ebn0 + 10.0 * np.log10(k)
+                  - 10.0 * np.log10(modem.sps))
+        yr, yi = awgn(args.seed + i + 1, (xr, xi), float(snr_db),
+                      signal_power=1.0)
+        rx, _ = modem.demodulate(yr, yi)
+        measured = float(ber(bits[:n_ok], rx[:n_ok]))
+        rec = {"constellation": const.name, "ebn0_db": round(float(ebn0), 3),
+               "ber": measured, "bits": n_ok}
+        records.append(rec)
+        print(json.dumps(rec))
+    if args.output:
+        np.savez(args.output,
+                 ebn0_db=np.asarray([r["ebn0_db"] for r in records]),
+                 ber=np.asarray([r["ber"] for r in records]),
+                 constellation=const.name, bits_per_point=n_ok)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="simpledsp_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -304,6 +345,21 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="run the headline benchmark")
 
+    sp = sub.add_parser("modem-sim", help="digital modem BER simulation "
+                                          "(TX -> AWGN -> matched RX)")
+    sp.add_argument("--constellation",
+                    choices=["bpsk", "qpsk", "qam16", "qam64"],
+                    default="qpsk")
+    sp.add_argument("--ebn0", default="0:10:2",
+                    help="Eb/N0 sweep lo:hi:step in dB")
+    sp.add_argument("--symbols", type=int, default=20000)
+    sp.add_argument("--sps", type=int, default=4)
+    sp.add_argument("--span", type=int, default=12)
+    sp.add_argument("--beta", type=float, default=0.3)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", default=None,
+                    help="optional .npz with the sweep arrays")
+
     args = p.parse_args(argv)
     if args.cmd == "fm-rx":
         return _cmd_rx(args, "fm")
@@ -317,6 +373,8 @@ def main(argv=None) -> int:
         import bench
         bench.main()
         return 0
+    if args.cmd == "modem-sim":
+        return _cmd_modem_sim(args)
     return 2
 
 

@@ -213,3 +213,20 @@ class TestMfccCmd:
         rc = cli.main(["mfcc", "--input", str(src), "--output",
                        str(tmp_path / "o.npz"), "--rate", "16000"])
         assert rc == 1
+
+
+class TestModemSim:
+    def test_ber_sweep_decreases_and_saves(self, tmp_path, capsys):
+        out = tmp_path / "ber.npz"
+        rc = cli.main(["modem-sim", "--constellation", "qpsk",
+                       "--ebn0", "2:6:2", "--symbols", "8000",
+                       "--output", str(out)])
+        assert rc == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.startswith("{")]
+        assert len(lines) == 3
+        z = np.load(str(out))
+        b = z["ber"]
+        assert b[0] > b[1] > b[2] > 0          # monotone in Eb/N0
+        # 4 dB point within a loose statistical band of theory (1.25e-2)
+        assert 0.5e-2 < b[1] < 2.5e-2
