@@ -1,0 +1,205 @@
+"""LTI representation conversions (scipy.signal parity, host-side f64).
+
+The migration glue a scipy user expects around the design layer: move
+between transfer-function (b, a), zero-pole-gain (z, p, k), and
+second-order-section forms, plus continuous-to-discrete conversion.
+All pure NumPy float64 running at design time — none of this belongs on
+the TPU (the reference's analog is its host-side coefficient math,
+reference: include/sdsp/casc_2o_iir.h:82-194).
+
+`zpk2sos` itself lives in design/iir.py (it is the spine of the zpk
+design pipeline); this module re-exports it for a complete conversion
+family.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from simpledsp_tpu.design.iir import zpk2sos
+
+__all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
+           "normalize", "cont2discrete", "zpk2sos"]
+
+
+def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
+    """Normalize a transfer function so a[0] == 1, trimming leading
+    numerator zeros (scipy.signal.normalize semantics)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a.ndim != 1 or b.ndim > 2:
+        raise ValueError("a must be 1-D, b at most 2-D")
+    if a[0] == 0.0:
+        raise ValueError("leading denominator coefficient must be nonzero")
+    b = np.atleast_2d(b) / a[0]
+    a = a / a[0]
+    # Trim leading all-zero numerator columns (keep at least one).
+    while b.shape[1] > 1 and np.all(b[:, 0] == 0.0):
+        b = b[:, 1:]
+    return (b[0] if b.shape[0] == 1 else b), a
+
+
+def tf2zpk(b, a) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(b, a) -> zeros, poles, gain (scipy.signal.tf2zpk semantics)."""
+    b, a = normalize(b, a)
+    b = np.atleast_1d(b)
+    if b.ndim != 1:
+        raise ValueError("tf2zpk expects a single-row numerator")
+    k = b[0] if b[0] != 0.0 else 1.0
+    if b[0] == 0.0:
+        z = np.roots(b)
+        k = 0.0
+    else:
+        z = np.roots(b / b[0])
+        k = float(b[0])
+    p = np.roots(a)
+    return z, p, k
+
+
+def zpk2tf(z, p, k: float) -> Tuple[np.ndarray, np.ndarray]:
+    """zeros, poles, gain -> (b, a) (scipy.signal.zpk2tf semantics);
+    real-valued output when roots come in conjugate pairs."""
+    z = np.atleast_1d(np.asarray(z))
+    p = np.atleast_1d(np.asarray(p))
+    b = float(k) * np.poly(z)
+    a = np.poly(p)
+    if np.isrealobj(np.poly(z)) or _conj_paired(z):
+        b = np.real(b)
+    if _conj_paired(p):
+        a = np.real(a)
+    return np.atleast_1d(b), np.atleast_1d(a)
+
+
+def _conj_paired(r: np.ndarray) -> bool:
+    return bool(np.allclose(np.sort_complex(r),
+                            np.sort_complex(np.conj(r))))
+
+
+def tf2sos(b, a) -> np.ndarray:
+    """(b, a) -> (n, 6) second-order sections via the zpk pipeline
+    (scipy.signal.tf2sos semantics: pairing through zpk2sos)."""
+    z, p, k = tf2zpk(b, a)
+    return zpk2sos(z, p, k)
+
+
+def sos2tf(sos) -> Tuple[np.ndarray, np.ndarray]:
+    """(n, 6) sections -> one (b, a) by polynomial multiplication
+    (scipy.signal.sos2tf semantics)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n, 6), got {sos.shape}")
+    b = np.ones(1)
+    a = np.ones(1)
+    for row in sos:
+        b = np.polymul(b, row[:3])
+        a = np.polymul(a, row[3:])
+    return b, a
+
+
+def sos2zpk(sos) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(n, 6) sections -> zeros, poles, gain (scipy.signal.sos2zpk
+    semantics: 2n roots, including the zero-padding of degenerate
+    sections)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n, 6), got {sos.shape}")
+    n = sos.shape[0]
+    z = np.empty(2 * n, dtype=np.complex128)
+    p = np.empty(2 * n, dtype=np.complex128)
+    k = 1.0
+    for i, row in enumerate(sos):
+        zi = np.roots(row[:3])
+        pi = np.roots(row[3:])
+        z[2 * i: 2 * i + len(zi)] = zi
+        z[2 * i + len(zi): 2 * i + 2] = 0.0
+        p[2 * i: 2 * i + len(pi)] = pi
+        p[2 * i + len(pi): 2 * i + 2] = 0.0
+        k *= row[0]
+    return z, p, k
+
+
+def cont2discrete(system, dt: float, method: str = "zoh"
+                  ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Discretize a continuous-time transfer function (b, a) at step dt
+    (scipy.signal.cont2discrete semantics for the supported methods:
+    'bilinear'/'tustin', 'euler'/'forward_diff', 'backward_diff', 'zoh').
+    Returns (bd, ad, dt).
+
+    The rational methods substitute the corresponding s -> f(z) map at
+    the zpk level and use the framework's own bilinear_zpk for 'tustin';
+    'zoh' matrix-exponentiates the controllable-canonical state-space
+    realization (the textbook route; scipy used only for expm).  Like
+    scipy, the returned numerator is left-padded with zeros to the
+    denominator's length — that padding carries the relative degree in
+    the z^-1 convention lfilter/freqz use, so do not trim it."""
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+
+    def padded(bd, ad):
+        bd, ad = normalize(bd, ad)
+        bd = np.atleast_1d(bd)
+        if bd.size < ad.size:
+            bd = np.concatenate([np.zeros(ad.size - bd.size), bd])
+        return bd, ad, dt
+    if method in ("bilinear", "tustin"):
+        from simpledsp_tpu.design.iir import bilinear_zpk
+        z, p, k = tf2zpk(b, a)
+        zd, pd, kd = bilinear_zpk(z, p, k, fs=1.0 / dt)
+        bd2, ad2 = zpk2tf(zd, pd, kd)
+        return padded(bd2, ad2)
+    if method in ("euler", "forward_diff", "backward_diff"):
+        # Polynomial substitution s -> q(z)/r(z) with the common
+        # denominator r(z)^n multiplied through both sides:
+        # forward Euler  s = (z - 1)/dt        (q = [1, -1],  r = [dt])
+        # backward diff  s = (z - 1)/(dt z)    (q = [1, -1],  r = [dt, 0])
+        q = np.array([1.0, -1.0])
+        r = (np.array([dt, 0.0]) if method == "backward_diff"
+             else np.array([dt]))
+        n = max(b.size, a.size) - 1
+
+        def sub(poly):
+            deg = poly.size - 1
+            acc = np.zeros(1)
+            for i, c in enumerate(poly):
+                pw = deg - i
+                term = np.ones(1)
+                for _ in range(pw):
+                    term = np.polymul(term, q)
+                for _ in range(n - pw):
+                    term = np.polymul(term, r)
+                acc = np.polyadd(acc, c * term)
+            return acc
+
+        return padded(sub(b), sub(a))
+    if method == "zoh":
+        # Controllable-canonical state space, matrix-exponential
+        # discretization [Ad Bd; 0 I] = expm([A B; 0 0] dt), then back to
+        # a transfer function via the matrix determinant lemma:
+        # C (zI - Ad)^-1 Bd = [det(zI - Ad + Bd C) - det(zI - Ad)]
+        #                     / det(zI - Ad).
+        from scipy.linalg import expm
+        b0, a0 = normalize(b, a)
+        b0 = np.atleast_1d(b0)
+        n = a0.size - 1
+        if n == 0:
+            return b0, a0, dt
+        bp = np.zeros(n + 1)
+        bp[n + 1 - b0.size:] = b0
+        d = bp[0]
+        cvec = bp[1:] - d * a0[1:]
+        A = np.zeros((n, n))
+        A[0] = -a0[1:]
+        if n > 1:
+            A[1:, :-1] = np.eye(n - 1)
+        M = np.zeros((n + 1, n + 1))
+        M[:n, :n] = A
+        M[0, n] = 1.0                      # B = e1
+        Md = expm(M * dt)
+        Ad, Bd = Md[:n, :n], Md[:n, n:]
+        ad = np.poly(Ad)
+        bd = (np.poly(Ad - Bd @ cvec[None, :]) - ad) + d * ad
+        return padded(bd, ad)
+    raise ValueError(f"unknown method {method!r}")

@@ -330,3 +330,62 @@ class TestCheby2:
         stop = w >= 6000.0
         assert np.max(20 * np.log10(np.abs(h[stop]) + 1e-300)) <= -50.0 + 1e-6
         assert abs(abs(h[0]) - 1.0) < 1e-12
+
+
+class TestLTIConversions:
+    """design/ltisys.py — representation-conversion family vs scipy."""
+
+    def test_tf_zpk_round_trip(self):
+        from simpledsp_tpu.design import ltisys as lt
+        b = np.array([0.5, 1.2, -0.3])
+        a = np.array([2.0, 0.4, 0.9, 0.1])
+        z1, p1, k1 = lt.tf2zpk(b, a)
+        z2, p2, k2 = sig.tf2zpk(b, a)
+        np.testing.assert_allclose(np.sort_complex(z1), np.sort_complex(z2))
+        np.testing.assert_allclose(np.sort_complex(p1), np.sort_complex(p2))
+        assert abs(k1 - k2) < 1e-14
+        bb, aa = lt.zpk2tf(z1, p1, k1)
+        bs, as_ = sig.zpk2tf(z2, p2, k2)
+        np.testing.assert_allclose(bb, bs, atol=1e-12)
+        np.testing.assert_allclose(aa, as_, atol=1e-12)
+
+    def test_sos_family(self):
+        from simpledsp_tpu.design import ltisys as lt
+        sos = sig.butter(6, 0.3, output="sos")
+        bt, at = lt.sos2tf(sos)
+        bts, ats = sig.sos2tf(sos)
+        np.testing.assert_allclose(bt, bts, atol=1e-12)
+        np.testing.assert_allclose(at, ats, atol=1e-12)
+        z1, p1, k1 = lt.sos2zpk(sos)
+        z2, p2, k2 = sig.sos2zpk(sos)
+        np.testing.assert_allclose(np.sort_complex(z1), np.sort_complex(z2),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.sort_complex(p1), np.sort_complex(p2),
+                                   atol=1e-12)
+        assert abs(k1 - k2) < 1e-12
+        # tf2sos: pairing may differ from scipy's; the response may not.
+        _, h1 = sig.sosfreqz(lt.tf2sos(bt, at), worN=256)
+        _, h2 = sig.sosfreqz(sos, worN=256)
+        np.testing.assert_allclose(h1, h2, atol=1e-9)
+
+    def test_normalize(self):
+        from simpledsp_tpu.design import ltisys as lt
+        bn, an = lt.normalize([0.0, 2.0, 4.0], [2.0, 1.0])
+        bns, ans = sig.normalize([0.0, 2.0, 4.0], [2.0, 1.0])
+        np.testing.assert_allclose(bn, bns)
+        np.testing.assert_allclose(an, ans)
+        with pytest.raises(ValueError):
+            lt.normalize([1.0], [0.0, 1.0])
+
+    @pytest.mark.parametrize("method", ["bilinear", "euler",
+                                        "backward_diff", "zoh"])
+    def test_cont2discrete_matches_scipy(self, method):
+        from simpledsp_tpu.design import ltisys as lt
+        bc, ac = sig.butter(3, 10.0, analog=True)
+        bd, ad, dt = lt.cont2discrete((bc, ac), 0.01, method=method)
+        ref = sig.cont2discrete((bc, ac), 0.01, method=method)
+        np.testing.assert_allclose(bd, np.squeeze(ref[0]), atol=1e-10)
+        np.testing.assert_allclose(ad, np.atleast_1d(ref[1]), atol=1e-10)
+        assert dt == 0.01
+        with pytest.raises(ValueError):
+            lt.cont2discrete((bc, ac), 0.01, method="warp-drive")
