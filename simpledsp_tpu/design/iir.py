@@ -851,6 +851,28 @@ def ellipord(wp, ws, gpass: float, gstop: float, fs: float = 2.0
 # Notch / peak / comb one-liners.
 # ----------------------------------------------------------------------------
 
+def iirdesign(wp, ws, gpass: float, gstop: float, *,
+              ftype: str = "ellip", fs: float = 2.0,
+              output: str = "design"):
+    """Complete IIR design from a band specification
+    (scipy.signal.iirdesign semantics): pick the minimum order of the
+    requested family meeting <= ``gpass`` dB passband loss at ``wp`` and
+    >= ``gstop`` dB attenuation at ``ws``, then design it.  The band
+    type (low/high/band-pass/stop) is inferred from the edge layout,
+    exactly as the *ord estimators do."""
+    ords = {"butter": buttord, "cheby1": cheb1ord, "cheby2": cheb2ord,
+            "ellip": ellipord}
+    if ftype not in ords:
+        raise ValueError(f"ftype must be one of {sorted(ords)}, "
+                         f"got {ftype!r}")
+    n, wn = ords[ftype](wp, ws, gpass, gstop, fs=fs)
+    wp_, ws_, _, _ = _order_prewarp(wp, ws, fs)
+    btype = {"lp": "lowpass", "hp": "highpass", "bp": "bandpass",
+             "bs": "bandstop"}[_kind_of(wp_, ws_)]
+    return iirfilter(n, wn, rp=gpass, rs=gstop, btype=btype, ftype=ftype,
+                     fs=fs, output=output)
+
+
 def iirnotch(f0: float, q: float, fs: float = 2.0) -> BiquadCascadeDesign:
     """Second-order notch at ``f0`` with -3 dB width f0/q (scipy.signal.
     iirnotch parity), as a single-section cascade design."""

@@ -21,7 +21,8 @@ import numpy as np
 from simpledsp_tpu.design.iir import zpk2sos
 
 __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
-           "normalize", "cont2discrete", "zpk2sos"]
+           "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
+           "bilinear", "tf2ss", "ss2tf"]
 
 
 def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
@@ -118,6 +119,86 @@ def sos2zpk(sos) -> Tuple[np.ndarray, np.ndarray, float]:
         p[2 * i + len(pi): 2 * i + 2] = 0.0
         k *= row[0]
     return z, p, k
+
+
+def sosfreqz(sos, n: int = 512, *, fs: float = 2.0 * np.pi
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Frequency response of a cascade of second-order sections on n
+    points of [0, fs/2) (scipy.signal.sosfreqz(worN=n) semantics): the
+    per-section responses multiplied — numerically far better than
+    expanding to one high-order polynomial first."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n, 6), got {sos.shape}")
+    w = np.linspace(0.0, np.pi, n, endpoint=False)
+    z = np.exp(-1j * w)
+    h = np.ones_like(z)
+    for row in sos:
+        h *= np.polynomial.polynomial.polyval(z, row[:3]) \
+            / np.polynomial.polynomial.polyval(z, row[3:])
+    return w * (fs / (2.0 * np.pi)), h
+
+
+def bilinear(b, a, fs: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Bilinear (Tustin) transform of an analog transfer function
+    (scipy.signal.bilinear semantics), routed through the framework's
+    zpk-level bilinear_zpk."""
+    from simpledsp_tpu.design.iir import bilinear_zpk
+    z, p, k = tf2zpk(b, a)
+    zd, pd, kd = bilinear_zpk(z, p, k, fs=float(fs))
+    bd, ad = zpk2tf(zd, pd, kd)
+    if bd.size < ad.size:
+        bd = np.concatenate([np.zeros(ad.size - bd.size), bd])
+    return bd, ad
+
+
+def tf2ss(b, a) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(b, a) -> controllable-canonical (A, B, C, D)
+    (scipy.signal.tf2ss semantics)."""
+    b0, a0 = normalize(b, a)
+    b0 = np.atleast_1d(b0)
+    if b0.ndim != 1:
+        raise ValueError("tf2ss expects a single-row numerator")
+    n = a0.size - 1
+    if n == 0:
+        return (np.zeros((0, 0)), np.zeros((0, 1)), np.zeros((1, 0)),
+                np.atleast_2d(b0[:1]))
+    bp = np.zeros(n + 1)
+    bp[n + 1 - b0.size:] = b0
+    d = bp[0]
+    A = np.zeros((n, n))
+    A[0] = -a0[1:]
+    if n > 1:
+        A[1:, :-1] = np.eye(n - 1)
+    B = np.zeros((n, 1))
+    B[0, 0] = 1.0
+    C = (bp[1:] - d * a0[1:])[None, :]
+    D = np.array([[d]])
+    return A, B, C, D
+
+
+def ss2tf(A, B, C, D, input: int = 0
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(A, B, C, D) -> (num, den) for one input (scipy.signal.ss2tf
+    semantics: num is (n_outputs, order + 1)), via the matrix
+    determinant lemma — det(zI - A + b c) = den(z) (1 + c (zI-A)^-1 b),
+    no symbolic algebra."""
+    A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+    B = np.atleast_2d(np.asarray(B, dtype=np.float64))
+    C = np.atleast_2d(np.asarray(C, dtype=np.float64))
+    D = np.atleast_2d(np.asarray(D, dtype=np.float64))
+    n = A.shape[0]
+    den = np.poly(A) if n else np.ones(1)
+    bcol = B[:, input: input + 1]
+    nout = C.shape[0]
+    num = np.empty((nout, n + 1))
+    for i in range(nout):
+        di = D[i, input] if D.size else 0.0
+        if n:
+            num[i] = (np.poly(A - bcol @ C[i: i + 1]) - den) + di * den
+        else:
+            num[i] = np.atleast_1d(di)
+    return num, den
 
 
 def cont2discrete(system, dt: float, method: str = "zoh"

@@ -389,3 +389,54 @@ class TestLTIConversions:
         assert dt == 0.01
         with pytest.raises(ValueError):
             lt.cont2discrete((bc, ac), 0.01, method="warp-drive")
+
+
+class TestDesignGlue:
+    """sosfreqz / bilinear / tf2ss / ss2tf / iirdesign vs scipy."""
+
+    def test_sosfreqz_matches_scipy(self):
+        from simpledsp_tpu.design import sosfreqz
+        sos = sig.butter(6, 0.3, output="sos")
+        w1, h1 = sosfreqz(sos, 256)
+        w2, h2 = sig.sosfreqz(sos, worN=256)
+        np.testing.assert_allclose(w1, w2)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+        with pytest.raises(ValueError):
+            sosfreqz(np.zeros((2, 5)))
+
+    def test_bilinear_matches_scipy(self):
+        from simpledsp_tpu.design import bilinear
+        bc, ac = sig.butter(3, 10.0, analog=True)
+        bd, ad = bilinear(bc, ac, fs=100.0)
+        bds, ads = sig.bilinear(bc, ac, fs=100.0)
+        np.testing.assert_allclose(bd, bds, atol=1e-12)
+        np.testing.assert_allclose(ad, ads, atol=1e-12)
+
+    def test_tf2ss_ss2tf_round_trip(self):
+        from simpledsp_tpu.design import ss2tf, tf2ss
+        b = np.array([0.5, 1.2, -0.3])
+        a = np.array([2.0, 0.4, 0.9, 0.1])
+        A, B, C, D = tf2ss(b, a)
+        A2, B2, C2, D2 = sig.tf2ss(b, a)
+        for x, y in [(A, A2), (B, B2), (C, C2), (D, D2)]:
+            np.testing.assert_allclose(x, y, atol=1e-12)
+        num, den = ss2tf(A, B, C, D)
+        num2, den2 = sig.ss2tf(A2, B2, C2, D2)
+        np.testing.assert_allclose(num, num2, atol=1e-12)
+        np.testing.assert_allclose(den, den2, atol=1e-12)
+
+    @pytest.mark.parametrize("wp,ws,gp,gs,ft", [
+        (0.2, 0.3, 1.0, 40.0, "ellip"),
+        (0.3, 0.2, 1.0, 40.0, "cheby1"),
+        ([0.2, 0.5], [0.1, 0.6], 2.0, 40.0, "butter"),
+        ([0.1, 0.6], [0.2, 0.5], 1.0, 30.0, "cheby2"),
+    ])
+    def test_iirdesign_matches_scipy_response(self, wp, ws, gp, gs, ft):
+        from simpledsp_tpu.design import iirdesign
+        sos = iirdesign(wp, ws, gp, gs, ftype=ft, output="sos")
+        sos_s = sig.iirdesign(wp, ws, gp, gs, ftype=ft, output="sos")
+        _, h1 = sig.sosfreqz(sos, worN=512)
+        _, h2 = sig.sosfreqz(sos_s, worN=512)
+        np.testing.assert_allclose(h1, h2, atol=1e-5)
+        with pytest.raises(ValueError):
+            iirdesign(wp, ws, gp, gs, ftype="gaussian")
