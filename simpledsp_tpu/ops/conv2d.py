@@ -128,6 +128,11 @@ def convolve2d(x: jnp.ndarray, h, mode: str = "full", *,
     taps — the measured crossover on v5e)."""
     if method not in ("auto", "direct", "fft"):
         raise ValueError(f"unknown method {method!r}")
+    # Concreteness must be tested on the CALLER's kernel: jnp.asarray
+    # lifts numpy constants into tracers inside a jit trace, but the
+    # values are still trace-time constants to bake into the fused
+    # kernel's FMA chain (same pitfall note as ops/conv.py:convolve).
+    h_in = h
     h = jnp.asarray(h)
     if h.ndim != 2:
         raise ValueError(f"kernel must be 2-D, got shape {h.shape}")
@@ -143,7 +148,7 @@ def convolve2d(x: jnp.ndarray, h, mode: str = "full", *,
     hr, hi = _as_ri(h, rdt) if cplx else (h.astype(rdt), None)
     # Concrete taps unlock the fused Pallas direct kernel (tap values are
     # baked into the unrolled FMA chain at trace time).
-    h_host = None if isinstance(h, jax.core.Tracer) else np.asarray(h)
+    h_host = None if isinstance(h_in, jax.core.Tracer) else np.asarray(h_in)
 
     def conv_real(img, ker, ker_host):
         imgp = _pad_boundary(img, kh, kw, boundary, fillvalue)
@@ -175,10 +180,18 @@ def correlate2d(x: jnp.ndarray, h, mode: str = "full", *,
     """2-D cross-correlation (scipy.signal.correlate2d semantics):
     convolution with the conjugated, 180-degree-rotated kernel on the
     same full-output grid."""
+    if isinstance(h, jax.core.Tracer):
+        if h.ndim != 2:
+            raise ValueError(f"kernel must be 2-D, got shape {h.shape}")
+        hf = jnp.conj(h[::-1, ::-1])
+    else:
+        # Flip host-side so convolve2d still sees concrete taps (keeps
+        # the fused direct kernel available under jit).
+        hnp = np.asarray(h)
+        if hnp.ndim != 2:
+            raise ValueError(f"kernel must be 2-D, got shape {hnp.shape}")
+        hf = np.conj(hnp[::-1, ::-1])
     h = jnp.asarray(h)
-    if h.ndim != 2:
-        raise ValueError(f"kernel must be 2-D, got shape {h.shape}")
-    hf = jnp.conj(h[::-1, ::-1])
     if mode == "same":
         # Correlation centers 'same' at kh//2 (vs convolution's
         # (kh-1)//2) — they differ only for even kernel dims.
