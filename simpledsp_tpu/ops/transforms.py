@@ -39,7 +39,7 @@ from simpledsp_tpu.ops.fft import fft_ri, ifft_ri, rfft_ri
 
 __all__ = [
     "czt", "czt_ri", "zoom_fft", "zoom_fft_ri",
-    "dct", "idct", "hilbert", "analytic_ri",
+    "dct", "idct", "hilbert", "analytic_ri", "hilbert2", "hilbert2_ri",
     "goertzel", "goertzel_ri",
 ]
 
@@ -331,6 +331,39 @@ def analytic_ri(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def hilbert(x: jnp.ndarray) -> jnp.ndarray:
     """Complex analytic signal (scipy.signal.hilbert semantics)."""
     yr, yi = analytic_ri(x)
+    return jax.lax.complex(yr, yi)
+
+
+def hilbert2_ri(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """2-D analytic signal over the last two axes as (re, im) planes
+    (scipy.signal.hilbert2 "single-orthant" semantics): fft2, multiply
+    by the separable per-axis one-sided step weights h1[u] h2[v]
+    (1 at DC, 2 for 1 <= k < (N+1)//2, 0 elsewhere — the even-N Nyquist
+    bin is ZEROED, unlike the 1-D hilbert), inverse fft2.  The weight
+    grid is a host-f64 rank-1 constant folded into the jitted program."""
+    from simpledsp_tpu.ops.fft import fft2_ri, ifft2_ri
+
+    if jnp.iscomplexobj(x):
+        raise ValueError("hilbert2_ri expects a real array")
+    if x.ndim < 2:
+        raise ValueError("hilbert2_ri needs at least 2 dims")
+
+    def axis_weights(n: int) -> np.ndarray:
+        w = np.zeros(n)
+        w[0] = 1.0
+        w[1:(n + 1) // 2] = 2.0
+        return w
+
+    h, w_ = x.shape[-2:]
+    grid = np.outer(axis_weights(h), axis_weights(w_))
+    ur, ui = fft2_ri(x, jnp.zeros_like(x))
+    g = jnp.asarray(grid, dtype=x.dtype)
+    return ifft2_ri(ur * g, ui * g)
+
+
+def hilbert2(x: jnp.ndarray) -> jnp.ndarray:
+    """Complex 2-D analytic signal (scipy.signal.hilbert2 semantics)."""
+    yr, yi = hilbert2_ri(x)
     return jax.lax.complex(yr, yi)
 
 

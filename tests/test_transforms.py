@@ -353,3 +353,22 @@ def test_lombscargle_matches_scipy(rng):
                                rtol=1e-10)
     with pytest.raises(ValueError):
         lombscargle(jnp.zeros((2, 4)), jnp.zeros(4), freqs)
+
+
+def test_hilbert2_matches_scipy(rng):
+    """2-D single-orthant analytic signal (even/odd sizes + batch; the
+    even-N Nyquist bin is ZEROED per scipy's convention)."""
+    from simpledsp_tpu.ops.transforms import hilbert2
+    for shape in [(32, 48), (33, 47), (8, 8)]:
+        x = rng.standard_normal(shape)
+        got = np.asarray(hilbert2(jnp.asarray(x)))
+        ref = ss.hilbert2(x)
+        assert np.max(np.abs(got - ref)) < 1e-12
+    xb = rng.standard_normal((3, 16, 24))
+    got = np.asarray(hilbert2(jnp.asarray(xb)))
+    for i in range(3):
+        assert np.max(np.abs(got[i] - ss.hilbert2(xb[i]))) < 1e-12
+    with pytest.raises(ValueError):
+        hilbert2(jnp.zeros(8))
+    with pytest.raises(ValueError):
+        hilbert2(jnp.zeros((4, 4), jnp.complex128))
