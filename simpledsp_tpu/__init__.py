@@ -37,6 +37,38 @@ from simpledsp_tpu.design.fir import (
     pfb_prototype_taps,
     resampler_taps,
 )
+from simpledsp_tpu.design.fir import firwin, rrc_taps
+from simpledsp_tpu.design.iir import (
+    bessel,
+    butter,
+    buttord,
+    cheb1ord,
+    cheb2ord,
+    cheby1,
+    cheby2,
+    ellip,
+    ellipord,
+    iircomb,
+    iirdesign,
+    iirfilter,
+    iirnotch,
+    iirpeak,
+    zpk2sos,
+)
+from simpledsp_tpu.design.ltisys import (
+    bilinear,
+    cont2discrete,
+    normalize,
+    sos2tf,
+    sos2zpk,
+    sosfreqz,
+    ss2tf,
+    tf2sos,
+    tf2ss,
+    tf2zpk,
+    zpk2tf,
+)
+from simpledsp_tpu.design.optimal_fir import firls, minimum_phase, remez
 from simpledsp_tpu.design.windows import get_window, kaiserord
 from simpledsp_tpu.ops.fft import (
     fft,
@@ -76,7 +108,12 @@ from simpledsp_tpu.ops.fir import (
     resample_poly,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
-from simpledsp_tpu.ops.conv import convolve, correlate
+from simpledsp_tpu.ops.conv import (
+    convolve,
+    correlate,
+    correlation_lags,
+    deconvolve,
+)
 from simpledsp_tpu.ops.conv2d import convolve2d, correlate2d
 from simpledsp_tpu.ops.lfilter import (
     BlockLFilter,
@@ -90,6 +127,7 @@ from simpledsp_tpu.ops.spectral import (
     coherence,
     csd_ri,
     istft_ri,
+    lombscargle,
     periodogram,
     spectrogram_ri,
     stft_ri,
@@ -103,6 +141,8 @@ from simpledsp_tpu.ops.transforms import (
     goertzel,
     goertzel_ri,
     hilbert,
+    hilbert2,
+    hilbert2_ri,
     idct,
     zoom_fft,
     zoom_fft_ri,
@@ -118,8 +158,10 @@ from simpledsp_tpu.ops.smooth import (
 from simpledsp_tpu.ops.waveforms import (
     chirp,
     gausspulse,
+    max_len_seq,
     sawtooth,
     square,
+    sweep_poly,
     unit_impulse,
 )
 from simpledsp_tpu.ops.demod import (
