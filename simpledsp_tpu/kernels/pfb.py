@@ -861,6 +861,12 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
     body = _make_flat_body(mode, m, f8, rt, hrows, k, pm, pack, ntiles,
                            total, float(gain), prec, crows=crows,
                            emit_sum=emit_sum)
+    # Mosaic scoped-vmem raise for deep prototypes: the branch-FIR stage
+    # keeps ~k lane-shifted tile temporaries live, and K = 32 measured a
+    # 40.2 MB stack vs the 16 MB default.  Gate on k > 16 so the
+    # flagship default config compiles byte-identically.
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=96 << 20)
+               if k > 16 else None)
     if mode.startswith("fm"):
         prev_r, prev_i = extra
         pr3 = prev_r.reshape(bp, pm, 1)
@@ -878,7 +884,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
                            jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma),
                            jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma)),
                 scratch_shapes=scratch + fm_scr + sems,
-                cost_estimate=cost, interpret=interpret,
+                cost_estimate=cost, compiler_params=cparams,
+                interpret=interpret,
             )(x4r, x4i, pr3, pi3, *consts)
             disc = disc.transpose(0, 2, 3, 1).reshape(b, m, g)
             return (disc,
@@ -893,7 +900,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
                        jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma),
                        jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype, vma=vma)),
             scratch_shapes=scratch + fm_scr + acr_scr + sems,
-            cost_estimate=cost, interpret=interpret,
+            cost_estimate=cost, compiler_params=cparams,
+                interpret=interpret,
         )(x4r, x4i, pr3, pi3, ah_in, *consts)
         kd = np.asarray(dec_taps).size
         aho2 = aho.transpose(0, 2, 3, 1).reshape(b, m, crows * f8) \
@@ -907,7 +915,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             out_specs=out_blk,
             out_shape=jax.ShapeDtypeStruct((bp, f8, pm, grows), dtype, vma=vma),
             scratch_shapes=scratch + sems,
-            cost_estimate=cost, interpret=interpret,
+            cost_estimate=cost, compiler_params=cparams,
+                interpret=interpret,
         )(x4r, x4i, *consts)
         return env.transpose(0, 2, 3, 1).reshape(b, m, g)
     if emit_sum:
@@ -921,7 +930,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
                        jax.ShapeDtypeStruct((bp, pm, 1), dtype, vma=vma)),
             scratch_shapes=scratch + acr_scr
             + [pltpu.VMEM((pm, 1), dtype)] + sems,
-            cost_estimate=cost, interpret=interpret,
+            cost_estimate=cost, compiler_params=cparams,
+                interpret=interpret,
         )(x4r, x4i, ah_in, *consts)
     else:
         audio, aho = pl.pallas_call(
@@ -931,7 +941,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
             out_shape=(jax.ShapeDtypeStruct((bp, pm, g // decim), dtype, vma=vma),
                        jax.ShapeDtypeStruct((bp, f8, pm, crows), dtype, vma=vma)),
             scratch_shapes=scratch + acr_scr + sems,
-            cost_estimate=cost, interpret=interpret,
+            cost_estimate=cost, compiler_params=cparams,
+                interpret=interpret,
         )(x4r, x4i, ah_in, *consts)
     kd = np.asarray(dec_taps).size
     aho2 = aho.transpose(0, 2, 3, 1).reshape(b, m, crows * f8) \
