@@ -104,6 +104,30 @@ class TestFusedChain:
         got = np.asarray(sr) + 1j * np.asarray(si)
         assert np.abs(got - ref).max() < 1e-11
 
+    @pytest.mark.parametrize("n", [1024, 16384])
+    def test_matches_scipy_oracle_other_shapes(self, rng, n):
+        """The multi-shape evidence sizes (PERF.md r4 table: 1024 at
+        n1 = 8, 16384 at n1 = 128 — the shape whose scoped-vmem estimate
+        takes the adaptive vmem_limit branch), locked in interpret mode
+        so shape-math regressions are caught off-chip."""
+        import scipy.signal as sig
+        from simpledsp_tpu.design.biquad import sos_matrix
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        design = default_design()
+        ops = FusedNorthStarOperators(design, n, dtype=jnp.float64)
+        x = rng.standard_normal((2, 2 * n))
+        s0 = jnp.zeros((2, ops.state_dim), jnp.float64)
+        (sr, si), s_fin = fused_chain_frames(ops, jnp.asarray(x), s0,
+                                             interpret=True)
+        sr = sr.reshape(2, -1, n)
+        si = si.reshape(2, -1, n)
+        y64 = sig.sosfilt(sos_matrix(design), x, axis=-1)
+        ref = np.fft.fft(y64.reshape(2, -1, n))
+        got = np.asarray(sr) + 1j * np.asarray(si)
+        assert np.abs(got - ref).max() < 3e-11
+
     def test_two_step_projection_matches_dense(self, rng):
         """The factored prepass (kb = K x, then the F-power block-Toeplitz
         combine) is algebraically identical to the dense x @ TKt dot — in
