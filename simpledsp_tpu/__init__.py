@@ -69,7 +69,8 @@ from simpledsp_tpu.design.ltisys import (
     zpk2tf,
 )
 from simpledsp_tpu.design.optimal_fir import firls, minimum_phase, remez
-from simpledsp_tpu.design.windows import get_window, kaiserord
+from simpledsp_tpu.design.windows import (get_window, kaiser_atten,
+                                           kaiserord)
 from simpledsp_tpu.ops.fft import (
     fft,
     fft_radix2,
@@ -93,6 +94,7 @@ from simpledsp_tpu.ops.iir import (
     iir_preload,
     sosfilt,
     sosfilt_scan,
+    sosfilt_zi,
     sosfiltfilt,
 )
 from simpledsp_tpu.ops.fir import (
@@ -118,12 +120,18 @@ from simpledsp_tpu.ops.conv2d import convolve2d, correlate2d
 from simpledsp_tpu.ops.lfilter import (
     BlockLFilter,
     filtfilt,
+    freqs,
+    freqs_zpk,
     freqz,
+    freqz_zpk,
     lfilter,
     lfilter_scan,
     lfilter_zi,
+    lfiltic,
 )
 from simpledsp_tpu.ops.spectral import (
+    check_COLA,
+    check_NOLA,
     coherence,
     csd_ri,
     istft_ri,
@@ -131,11 +139,13 @@ from simpledsp_tpu.ops.spectral import (
     periodogram,
     spectrogram_ri,
     stft_ri,
+    vectorstrength,
     welch_psd,
 )
 from simpledsp_tpu.ops.transforms import (
     analytic_ri,
     czt,
+    czt_points,
     czt_ri,
     dct,
     goertzel,
@@ -151,6 +161,7 @@ from simpledsp_tpu.ops.smooth import (
     detrend,
     medfilt,
     medfilt2d,
+    order_filter,
     savgol_coeffs,
     savgol_filter,
     wiener,

@@ -469,6 +469,13 @@ def get_window(window: WindowSpec, nx: int, fftbins: bool = True
     raise ValueError(f"unknown window {name!r}")
 
 
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Stopband attenuation (dB) a Kaiser-window FIR of ``numtaps`` taps
+    achieves for transition width ``width`` (fraction of Nyquist) —
+    scipy.signal.kaiser_atten's inverse-of-kaiserord formula."""
+    return 2.285 * (numtaps - 1) * np.pi * width + 7.95
+
+
 def kaiserord(ripple_db: float, width: float) -> tuple:
     """Kaiser-window FIR order estimate (scipy.signal.kaiserord semantics):
     taps count and beta for ``ripple_db`` dB ripple/attenuation and a

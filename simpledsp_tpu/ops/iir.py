@@ -51,6 +51,7 @@ __all__ = [
     "iir_init",
     "iir_preload",
     "sosfilt_scan",
+    "sosfilt_zi",
     "BlockIIR",
     "block_operators_f64",
     "block_operators_from_ss_f64",
@@ -110,6 +111,27 @@ def _preload_levels_f64(design: BiquadCascadeDesign) -> np.ndarray:
         v = v * design.b[k].sum() / design.a[k].sum()
         levels.append(v)
     return np.asarray(levels, dtype=np.float64)
+
+
+def sosfilt_zi(sos) -> np.ndarray:
+    """Steady-state DF2T initial conditions for a unit-step input through
+    an (n, 6) SOS cascade (scipy.signal.sosfilt_zi semantics): section
+    k's lfilter_zi scaled by the DC gain of the sections before it.
+    Host-side f64 — the scipy-compat counterpart of the framework's own
+    :func:`iir_preload` (which fills the explicit IIRState pytree)."""
+    from simpledsp_tpu.ops.lfilter import lfilter_zi
+
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError(f"sos must be (n, 6), got {sos.shape}")
+    n = sos.shape[0]
+    zi = np.empty((n, 2))
+    scale = 1.0
+    for k in range(n):
+        b, a = sos[k, :3], sos[k, 3:]
+        zi[k] = scale * lfilter_zi(b, a)
+        scale *= b.sum() / a.sum()
+    return zi
 
 
 def iir_preload(design: BiquadCascadeDesign, value: float,

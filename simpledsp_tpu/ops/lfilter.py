@@ -27,8 +27,9 @@ import numpy as np
 
 from simpledsp_tpu.ops.iir import block_operators_from_ss_f64
 
-__all__ = ["lfilter", "lfilter_scan", "lfilter_zi", "BlockLFilter",
-           "filtfilt", "freqz", "tf_state_space_f64"]
+__all__ = ["lfilter", "lfilter_scan", "lfilter_zi", "lfiltic",
+           "BlockLFilter", "filtfilt", "freqz", "freqs", "freqs_zpk",
+           "freqz_zpk", "tf_state_space_f64"]
 
 
 def _normalize_ba(b, a) -> Tuple[np.ndarray, np.ndarray]:
@@ -81,6 +82,55 @@ def freqz(b, a=1.0, n: int = 512, *, fs: float = 2.0 * np.pi
     return w * (fs / (2.0 * np.pi)), h
 
 
+def freqs(b, a, n: int = 200, worN=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Analog (s-domain) frequency response of B(s)/A(s)
+    (scipy.signal.freqs semantics): H(jw) on ``worN`` rad/s points, or
+    ``n`` log-spaced points around the system's interesting range."""
+    b64 = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a64 = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if worN is None:
+        roots = np.concatenate([np.roots(a64) if a64.size > 1 else [],
+                                np.roots(b64) if b64.size > 1 else []])
+        mags = np.abs(roots[np.abs(roots) > 0]) if roots.size else []
+        center = np.median(mags) if len(mags) else 1.0
+        w = np.logspace(np.log10(center) - 2, np.log10(center) + 2, n)
+    else:
+        w = np.atleast_1d(np.asarray(worN, dtype=np.float64))
+    s = 1j * w
+    h = np.polyval(b64, s) / np.polyval(a64, s)
+    return w, h
+
+
+def freqs_zpk(z, p, k: float, worN) -> Tuple[np.ndarray, np.ndarray]:
+    """Analog frequency response from zeros/poles/gain
+    (scipy.signal.freqs_zpk semantics, explicit ``worN``): evaluated as
+    a product over roots — no polynomial expansion, so high orders stay
+    well-conditioned."""
+    w = np.atleast_1d(np.asarray(worN, dtype=np.float64))
+    s = 1j * w
+    h = np.full(w.shape, complex(k))
+    for zi in np.atleast_1d(z):
+        h *= s - zi
+    for pi in np.atleast_1d(p):
+        h /= s - pi
+    return w, h
+
+
+def freqz_zpk(z, p, k: float, n: int = 512, *, fs: float = 2.0 * np.pi
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Digital frequency response from zeros/poles/gain
+    (scipy.signal.freqz_zpk(worN=n) semantics): product over roots on
+    the unit circle."""
+    w = np.linspace(0.0, np.pi, n, endpoint=False)
+    zv = np.exp(1j * w)
+    h = np.full(w.shape, complex(k))
+    for zi in np.atleast_1d(z):
+        h *= zv - zi
+    for pi in np.atleast_1d(p):
+        h /= zv - pi
+    return w * (fs / (2.0 * np.pi)), h
+
+
 def lfilter_zi(b, a) -> np.ndarray:
     """Steady-state DF2T state for unit step input
     (scipy.signal.lfilter_zi): the zi that makes a constant input produce
@@ -90,6 +140,38 @@ def lfilter_zi(b, a) -> np.ndarray:
     if D == 0:
         return np.zeros(0)
     return np.linalg.solve(np.eye(D) - A, p)
+
+
+def lfiltic(b, a, y, x=None) -> np.ndarray:
+    """Initial lfilter state reproducing given past outputs ``y`` (and
+    past inputs ``x``) — scipy.signal.lfiltic semantics, returning the
+    direct-form-II-transposed ``zi`` this module's lfilter consumes.
+
+    Derivation: run the DF2T update backwards.  z[i] carries
+    sum_{j>i} (b[j] x[t-(j-i)] - a[j] y[t-(j-i)]); with the convention
+    y[-1], y[-2], ... = y[0], y[1], ... (scipy's ordering) each state
+    entry is a finite double sum over the known history, zero beyond the
+    provided samples."""
+    b64, a64 = _normalize_ba(b, a)
+    n = max(b64.size, a64.size)
+    bp = np.zeros(n)
+    bp[: b64.size] = b64
+    ap = np.zeros(n)
+    ap[: a64.size] = a64
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    x = (np.zeros(0) if x is None
+         else np.atleast_1d(np.asarray(x, dtype=np.float64)))
+    zi = np.zeros(n - 1)
+    for i in range(n - 1):
+        acc = 0.0
+        for j in range(i + 1, n):
+            lag = j - i - 1          # y[-1 - lag] == y[lag] in scipy order
+            if lag < x.size:
+                acc += bp[j] * x[lag]
+            if lag < y.size:
+                acc -= ap[j] * y[lag]
+        zi[i] = acc
+    return zi
 
 
 def lfilter_scan(b, a, x: jnp.ndarray,

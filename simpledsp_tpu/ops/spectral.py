@@ -20,7 +20,73 @@ from simpledsp_tpu.ops import fft as _fft
 
 __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
            "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram",
-           "lombscargle"]
+           "lombscargle", "check_COLA", "check_NOLA", "vectorstrength"]
+
+
+def check_COLA(window, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """Constant-OverLap-Add check (scipy.signal.check_COLA semantics):
+    do the shifted windows sum to a constant?  Host-side f64; the
+    condition under which plain (unweighted) overlap-add inverts an
+    STFT exactly.  (The framework's istft_ri uses the least-squares
+    weighted-OLA inverse, which needs only the weaker NOLA condition.)"""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError(f"need 0 <= noverlap < nperseg, got "
+                         f"{noverlap}/{nperseg}")
+    w = window_taps(window, nperseg)
+    step = nperseg - noverlap
+    bins = w.reshape(-1, step) if nperseg % step == 0 else None
+    if bins is None:
+        # General hop: accumulate each shift's contribution mod step.
+        acc = np.zeros(step)
+        for ofs in range(0, nperseg, step):
+            seg = w[ofs: ofs + step]
+            acc[: seg.size] += seg
+        sums = acc
+    else:
+        sums = bins.sum(axis=0)
+    return bool(np.max(np.abs(sums - sums[0])) < tol * max(sums[0], 1e-30))
+
+
+def check_NOLA(window, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """NOnzero-OverLap-Add check (scipy.signal.check_NOLA semantics):
+    is the squared-window overlap sum everywhere nonzero?  This is the
+    exact invertibility condition of the framework's weighted-OLA
+    :func:`istft_ri`."""
+    nperseg = int(nperseg)
+    noverlap = int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError(f"need 0 <= noverlap < nperseg, got "
+                         f"{noverlap}/{nperseg}")
+    w = window_taps(window, nperseg) ** 2
+    step = nperseg - noverlap
+    acc = np.zeros(step)
+    for ofs in range(0, nperseg, step):
+        seg = w[ofs: ofs + step]
+        acc[: seg.size] += seg
+    return bool(np.min(acc) > tol * max(np.max(acc), 1e-30))
+
+
+def vectorstrength(events, period):
+    """Vector strength (phase coherence) of event times against one or
+    more periods (scipy.signal.vectorstrength semantics): returns
+    (strength, phase) — the length and angle of the mean unit phasor
+    e^{2 pi i events / period}."""
+    events = np.asarray(events, dtype=np.float64)
+    period = np.asarray(period, dtype=np.float64)
+    scalar = period.ndim == 0
+    per = np.atleast_1d(period)
+    if np.any(per <= 0):
+        raise ValueError("periods must be positive")
+    ang = 2.0 * np.pi * events[None, :] / per[:, None]
+    ph = np.exp(1j * ang).mean(axis=-1)
+    strength, phase = np.abs(ph), np.angle(ph)
+    if scalar:
+        return float(strength[0]), float(phase[0])
+    return strength, phase
 
 
 def window_taps(kind, n: int) -> np.ndarray:

@@ -38,10 +38,22 @@ import numpy as np
 from simpledsp_tpu.ops.fft import fft_ri, ifft_ri, rfft_ri
 
 __all__ = [
-    "czt", "czt_ri", "zoom_fft", "zoom_fft_ri",
+    "czt", "czt_ri", "czt_points", "zoom_fft", "zoom_fft_ri",
     "dct", "idct", "hilbert", "analytic_ri", "hilbert2", "hilbert2_ri",
     "goertzel", "goertzel_ri",
 ]
+
+
+def czt_points(m: int, w=None, a: complex = 1.0 + 0.0j) -> np.ndarray:
+    """The m z-plane evaluation points a * w**(-k) of a CZT
+    (scipy.signal.czt_points semantics; host-side metadata)."""
+    m = int(m)
+    if m < 1:
+        raise ValueError(f"m must be positive, got {m}")
+    k = np.arange(m)
+    if w is None:
+        return a * np.exp(2j * np.pi * k / m)
+    return a * np.asarray(w, dtype=np.complex128) ** -k
 
 
 # ---------------------------------------------------------------------------

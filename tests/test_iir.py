@@ -203,3 +203,17 @@ def test_sosfiltfilt_rejects_long_padlen():
     design = design_lowpass(M, 2000.0, FS)
     with pytest.raises(ValueError):
         sosfiltfilt(design, jnp.asarray(np.ones(10)))
+
+
+def test_sosfilt_zi_matches_scipy():
+    import scipy.signal as sig
+
+    from simpledsp_tpu.ops.iir import sosfilt_zi
+    for sos in (sig.butter(6, 0.3, output="sos"),
+                sig.cheby1(5, 1.0, 0.2, output="sos"),
+                sig.ellip(4, 0.5, 40.0, [0.2, 0.5], btype="bandpass",
+                          output="sos")):
+        np.testing.assert_allclose(sosfilt_zi(sos), sig.sosfilt_zi(sos),
+                                   atol=1e-13)
+    with pytest.raises(ValueError):
+        sosfilt_zi(np.zeros((2, 5)))

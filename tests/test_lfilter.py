@@ -121,3 +121,45 @@ def test_freqz_matches_scipy(ba):
     wr, hr = ss.freqz(b, a, worN=256)
     assert np.max(np.abs(w - wr)) < 1e-12
     assert np.max(np.abs(h - hr)) < 1e-12
+
+
+class TestResponseHelpers:
+    """freqs / freqs_zpk / freqz_zpk / lfiltic vs scipy."""
+
+    def test_freqs_matches_scipy(self):
+        from simpledsp_tpu.ops.lfilter import freqs
+        bc, ac = ss.butter(4, 100.0, analog=True)
+        w = np.logspace(0, 3, 50)
+        w1, h1 = freqs(bc, ac, worN=w)
+        w2, h2 = ss.freqs(bc, ac, worN=w)
+        np.testing.assert_allclose(w1, w2)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+
+    def test_freqs_zpk_freqz_zpk_match_scipy(self):
+        from simpledsp_tpu.ops.lfilter import freqs_zpk, freqz_zpk
+        z, p, k = ss.butter(4, 100.0, analog=True, output="zpk")
+        w = np.logspace(0, 3, 50)
+        _, h1 = freqs_zpk(z, p, k, w)
+        _, h2 = ss.freqs_zpk(z, p, k, worN=w)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+        z, p, k = ss.butter(4, 0.3, output="zpk")
+        w1, h1 = freqz_zpk(z, p, k, 128)
+        w2, h2 = ss.freqz_zpk(z, p, k, worN=128)
+        np.testing.assert_allclose(w1, w2)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+
+    def test_lfiltic_matches_scipy_and_continues_stream(self, rng):
+        from simpledsp_tpu.ops.lfilter import lfilter, lfiltic
+        b, a = ss.butter(4, 0.3)
+        y_hist = rng.standard_normal(4)
+        x_hist = rng.standard_normal(4)
+        zi = lfiltic(b, a, y_hist, x_hist)
+        np.testing.assert_allclose(zi, ss.lfiltic(b, a, y_hist, x_hist),
+                                   atol=1e-14)
+        zi_nox = lfiltic(b, a, y_hist)
+        np.testing.assert_allclose(zi_nox, ss.lfiltic(b, a, y_hist),
+                                   atol=1e-14)
+        x = rng.standard_normal(64)
+        y1, _ = lfilter(b, a, jnp.asarray(x), zi=jnp.asarray(zi))
+        y2, _ = ss.lfilter(b, a, x, zi=zi)
+        np.testing.assert_allclose(np.asarray(y1), y2, atol=1e-12)

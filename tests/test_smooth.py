@@ -7,7 +7,8 @@ import scipy.signal as sig
 import jax.numpy as jnp
 
 from simpledsp_tpu.ops.smooth import (detrend, medfilt, medfilt2d,
-                                      savgol_coeffs, savgol_filter, wiener)
+                                      order_filter, savgol_coeffs,
+                                      savgol_filter, wiener)
 
 
 @pytest.fixture
@@ -102,3 +103,45 @@ class TestDetrend:
     def test_rejects_unknown_type(self, rng):
         with pytest.raises(ValueError):
             detrend(jnp.asarray(rng.standard_normal(10)), type="quadratic")
+
+
+class TestOrderFilter:
+    def test_matches_scipy_hole_free(self, rng):
+        """Hole-free domains: scipy's rank_filter path is correct there."""
+        x2 = rng.standard_normal((20, 25))
+        got = np.asarray(order_filter(jnp.asarray(x2), np.ones((3, 5)), 7))
+        ref = sig.order_filter(x2, np.ones((3, 5)), 7)
+        np.testing.assert_allclose(got, ref)
+        x1 = rng.standard_normal(50)
+        got1 = np.asarray(order_filter(jnp.asarray(x1), np.ones(5), 2))
+        ref1 = sig.order_filter(x1, np.ones(5), 2)
+        np.testing.assert_allclose(got1, ref1)
+
+    def test_holed_domain_true_semantics(self, rng):
+        """Domains with holes: rank over the SELECTED neighbors only
+        (scipy 1.17's rank_filter ignores footprint holes — verified in
+        ops/smooth.py docstring; we honor the documented semantics and
+        pin them against a direct numpy reference)."""
+        x = rng.standard_normal(30)
+        dom = np.array([1, 0, 1, 1, 1])
+        got = np.asarray(order_filter(jnp.asarray(x), dom, 1))
+        offs = [j - 2 for j in np.flatnonzero(dom)]
+        ref = np.array([
+            np.sort([x[t + o] if 0 <= t + o < 30 else 0.0 for o in offs])[1]
+            for t in range(30)])
+        np.testing.assert_allclose(got, ref)
+        # and scipy 1.17 indeed ignores the hole (upstream behavior pin)
+        assert np.allclose(sig.order_filter(x, dom, 1),
+                           sig.order_filter(x, np.ones(5), 1))
+
+    def test_median_special_case_and_errors(self, rng):
+        x = rng.standard_normal((2, 40))
+        np.testing.assert_allclose(
+            np.asarray(order_filter(jnp.asarray(x), np.ones(5), 2)),
+            np.asarray(medfilt(jnp.asarray(x), 5)))
+        with pytest.raises(ValueError):
+            order_filter(jnp.zeros(8), np.ones(4), 0)      # even domain
+        with pytest.raises(ValueError):
+            order_filter(jnp.zeros(8), np.ones(5), 5)      # rank range
+        with pytest.raises(ValueError):
+            order_filter(jnp.zeros(8), np.ones((3, 3, 3)), 0)

@@ -372,3 +372,44 @@ def test_hilbert2_matches_scipy(rng):
         hilbert2(jnp.zeros(8))
     with pytest.raises(ValueError):
         hilbert2(jnp.zeros((4, 4), jnp.complex128))
+
+
+def test_czt_points_matches_scipy():
+    from simpledsp_tpu.ops.transforms import czt_points
+    w = 0.9 * np.exp(-1j * 0.3)
+    np.testing.assert_allclose(czt_points(7, w, 1.1),
+                               ss.czt_points(7, w, 1.1), atol=1e-14)
+    np.testing.assert_allclose(czt_points(7), ss.czt_points(7), atol=1e-14)
+    with pytest.raises(ValueError):
+        czt_points(0)
+
+
+def test_check_cola_nola_match_scipy():
+    from simpledsp_tpu.ops.spectral import check_COLA, check_NOLA
+    cases = [("hann", 256, 128), ("hann", 256, 192), ("hann", 256, 100),
+             ("boxcar", 100, 0), ("hamming", 256, 128),
+             (("kaiser", 8.0), 128, 64)]
+    for win, nseg, nov in cases:
+        assert check_COLA(win, nseg, nov) == bool(
+            ss.check_COLA(win, nseg, nov)), (win, nseg, nov)
+        assert check_NOLA(win, nseg, nov) == bool(
+            ss.check_NOLA(win, nseg, nov)), (win, nseg, nov)
+    with pytest.raises(ValueError):
+        check_COLA("hann", 128, 128)
+
+
+def test_vectorstrength_matches_scipy(rng):
+    from simpledsp_tpu.ops.spectral import vectorstrength
+    ev = rng.uniform(0, 100, 200)
+    s1, p1 = vectorstrength(ev, 7.0)
+    s2, p2 = ss.vectorstrength(ev, 7.0)
+    assert abs(s1 - s2) < 1e-12 and abs(p1 - p2) < 1e-12
+    sa, pa = vectorstrength(ev, [5.0, 7.0])
+    sb, pb = ss.vectorstrength(ev, [5.0, 7.0])
+    np.testing.assert_allclose(sa, sb, atol=1e-12)
+    np.testing.assert_allclose(pa, pb, atol=1e-12)
+    # perfectly periodic events -> strength 1
+    s1, _ = vectorstrength(np.arange(20) * 3.0, 3.0)
+    assert abs(s1 - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        vectorstrength(ev, -1.0)

@@ -88,3 +88,10 @@ def test_dpss_concentration():
 
     assert inband(v) > inband(k)
     assert inband(v) > 0.99999
+
+
+def test_kaiser_atten_matches_scipy():
+    from simpledsp_tpu.design.windows import kaiser_atten
+    for taps, width in [(101, 0.05), (64, 0.1), (13, 0.3)]:
+        assert abs(kaiser_atten(taps, width)
+                   - sig.kaiser_atten(taps, width)) < 1e-12
