@@ -16,6 +16,11 @@ WORKER = textwrap.dedent("""
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_num_cpu_devices', 2)
     pid = int(sys.argv[1])
+    _results = open(sys.argv[2], "a")
+    def report(line):
+        print(line, flush=True)
+        _results.write(line + chr(10))
+        _results.flush()
     from simpledsp_tpu.parallel import multihost
     multihost.initialize(coordinator="localhost:{port}",
                          num_processes=2, process_id=pid)
@@ -32,7 +37,7 @@ WORKER = textwrap.dedent("""
     f = ShardedBlockIIR(default_design(), mesh, block_size=64)
     y, st = f(x)
     val = float(jnp.sum(jnp.abs(y)))
-    print(f"OK proc {{pid}} checksum {{val:.6f}}", flush=True)
+    report(f"OK proc {{pid}} checksum {{val:.6f}}")
 
     # Halo-exchange FIR across the process boundary (ppermute ring).
     from simpledsp_tpu.design.fir import lowpass_taps
@@ -40,7 +45,7 @@ WORKER = textwrap.dedent("""
     fir = ShardedFIR(lowpass_taps(33, 0.25, fs=1.0), mesh)
     yf, _ = fir(x)
     val_fir = float(jnp.sum(jnp.abs(yf)))
-    print(f"OKFIR proc {{pid}} checksum {{val_fir:.6f}}", flush=True)
+    report(f"OKFIR proc {{pid}} checksum {{val_fir:.6f}}")
 
     # Full sharded north-star chain across processes, validated against a
     # locally-computed SERIAL reference on the (deterministic) global input.
@@ -58,7 +63,7 @@ WORKER = textwrap.dedent("""
     val_serial = float(jnp.sum(jnp.abs(rr)) + jnp.sum(jnp.abs(ri)))
     rel = abs(val_chain - val_serial) / max(abs(val_serial), 1e-9)
     assert rel < 1e-5, (val_chain, val_serial)
-    print(f"OKCHAIN proc {{pid}} checksum {{val_chain:.6f}}", flush=True)
+    report(f"OKCHAIN proc {{pid}} checksum {{val_chain:.6f}}")
 
     # Round-4 sharded ops across the process boundary: centered
     # convolution (left halo + centering ppermute) and STFT (right-
@@ -71,8 +76,8 @@ WORKER = textwrap.dedent("""
     rel_c = float(jnp.max(jnp.abs(yc - ref_c))
                   / jnp.max(jnp.abs(ref_c)))
     assert rel_c < 1e-5, rel_c
-    print(f"OKCONV proc {{pid}} checksum "
-          f"{{float(jnp.sum(jnp.abs(yc))):.6f}}", flush=True)
+    report(f"OKCONV proc {{pid}} checksum "
+           f"{{float(jnp.sum(jnp.abs(yc))):.6f}}")
 
     from simpledsp_tpu.ops.spectral import stft_ri
     st = ShardedSTFT(mesh, nfft=128, hop=64, dtype=jnp.float32)
@@ -81,8 +86,8 @@ WORKER = textwrap.dedent("""
                          hop=64)
     rel_s = float(jnp.max(jnp.abs(gr - rr_s)) + jnp.max(jnp.abs(gi - ri_s)))
     assert rel_s < 1e-4, rel_s
-    print(f"OKSTFT proc {{pid}} checksum "
-          f"{{float(jnp.sum(jnp.abs(gr))):.6f}}", flush=True)
+    report(f"OKSTFT proc {{pid}} checksum "
+           f"{{float(jnp.sum(jnp.abs(gr))):.6f}}")
 """)
 
 
@@ -91,7 +96,9 @@ def test_two_process_distributed(tmp_path):
     repo = str(pathlib.Path(__file__).parent.parent)
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=repo, port=9967))
-    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+    res_files = [tmp_path / f"results_{i}.txt" for i in range(2)]
+    procs = [subprocess.Popen([sys.executable, str(script), str(i),
+                               str(res_files[i])],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for i in range(2)]
@@ -103,8 +110,13 @@ def test_two_process_distributed(tmp_path):
     # both processes computed the SAME global result for every mechanism
     # exercised: sharded IIR (state collective), halo FIR (ppermute ring),
     # and the full sharded chain (+ serial-reference parity in-worker).
+    # Checks are read from per-process RESULT FILES, not stdout:
+    # stderr is merged into stdout and absl/jax warnings can interleave
+    # mid-line under host load (observed once in a full-suite run,
+    # corrupting a checksum token).
+    results = [f.read_text().splitlines() for f in res_files]
     for tag in ("OK ", "OKFIR ", "OKCHAIN ", "OKCONV ", "OKSTFT "):
-        checks = [ln for o in outs for ln in o.splitlines()
+        checks = [ln for o in results for ln in o
                   if ln.startswith(tag)]
         assert len(checks) == 2, (tag, outs)
         # Toleranced, not string-exact: the checksum is a float reduction
