@@ -157,6 +157,14 @@ from simpledsp_tpu.ops.transforms import (
     zoom_fft,
     zoom_fft_ri,
 )
+from simpledsp_tpu.ops.peaks import (
+    argrelextrema,
+    argrelmax,
+    argrelmin,
+    find_peaks,
+    peak_prominences,
+    peak_widths,
+)
 from simpledsp_tpu.ops.smooth import (
     detrend,
     medfilt,

@@ -1,0 +1,93 @@
+"""Peak-detection family vs scipy.signal (ops/peaks.py)."""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+from simpledsp_tpu.ops import peaks as pk
+
+
+@pytest.fixture
+def sig1(rng):
+    n = 2000
+    return np.cumsum(rng.standard_normal(n)) + 0.3 * np.sin(
+        np.arange(n) * 0.1)
+
+
+def test_plain_local_maxima(sig1):
+    a, _ = pk.find_peaks(sig1)
+    b, _ = ss.find_peaks(sig1)
+    np.testing.assert_array_equal(a, b)
+    assert a.size > 100
+
+
+@pytest.mark.parametrize("kw", [
+    dict(height=1.0),
+    dict(height=(0.5, 20.0)),
+    dict(threshold=0.2),
+    dict(distance=15),
+    dict(prominence=2.0),
+    dict(width=3),
+    dict(prominence=1.0, width=(2, 30), distance=8),
+    dict(plateau_size=1),
+])
+def test_find_peaks_conditions_match_scipy(sig1, kw):
+    a, pa = pk.find_peaks(sig1, **kw)
+    b, pb = ss.find_peaks(sig1, **kw)
+    np.testing.assert_array_equal(a, b)
+    assert set(pa) == set(pb)
+    for k in pb:
+        np.testing.assert_allclose(pa[k], pb[k], err_msg=k)
+
+
+def test_plateau_handling():
+    x = np.array([0, 1, 1, 1, 0, 2, 2, 0, 3, 0, 1, 0], float)
+    a, pa = pk.find_peaks(x, plateau_size=2)
+    b, pb = ss.find_peaks(x, plateau_size=2)
+    np.testing.assert_array_equal(a, b)
+    for k in pb:
+        np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)
+
+
+@pytest.mark.parametrize("wlen", [None, 5, 40, 41, 100])
+def test_peak_prominences_match_scipy(sig1, wlen):
+    p, _ = ss.find_peaks(sig1, distance=10)
+    a = pk.peak_prominences(sig1, p, wlen=wlen)
+    b = ss.peak_prominences(sig1, p, wlen=wlen)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(u, v)
+
+
+@pytest.mark.parametrize("rel", [0.5, 0.7, 1.0])
+def test_peak_widths_match_scipy(sig1, rel):
+    p, _ = ss.find_peaks(sig1, distance=10)
+    a = pk.peak_widths(sig1, p, rel)
+    b = ss.peak_widths(sig1, p, rel)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(u, v)
+
+
+def test_argrel_family(rng):
+    y = rng.standard_normal((3, 100))
+    for order in (1, 3):
+        for ours, theirs in [(pk.argrelmax, ss.argrelmax),
+                             (pk.argrelmin, ss.argrelmin)]:
+            a = ours(y, order=order)
+            b = theirs(y, order=order, axis=-1)
+            for u, v in zip(a, b):
+                np.testing.assert_array_equal(u, v)
+
+
+def test_errors(sig1):
+    with pytest.raises(ValueError):
+        pk.find_peaks(sig1, distance=0.5)
+    with pytest.raises(ValueError):
+        pk.find_peaks(np.zeros((2, 3)))
+    with pytest.raises(ValueError):
+        pk.peak_prominences(sig1, [99999])
+    with pytest.raises(ValueError):
+        pk.peak_prominences(sig1, [5], wlen=1)
+    with pytest.raises(ValueError):
+        pk.peak_widths(sig1, [100], rel_height=-1.0)
+    with pytest.raises(ValueError):
+        pk.argrelmax(sig1, order=0)
