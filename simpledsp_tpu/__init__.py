@@ -57,12 +57,21 @@ from simpledsp_tpu.design.iir import (
 )
 from simpledsp_tpu.design.ltisys import (
     bilinear,
+    bode,
     cont2discrete,
+    dbode,
+    dimpulse,
+    dlsim,
+    dstep,
+    freqresp,
+    impulse,
+    lsim,
     normalize,
     sos2tf,
     sos2zpk,
     sosfreqz,
     ss2tf,
+    step,
     tf2sos,
     tf2ss,
     tf2zpk,

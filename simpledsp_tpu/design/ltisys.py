@@ -22,7 +22,9 @@ from simpledsp_tpu.design.iir import zpk2sos
 
 __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
            "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
-           "bilinear", "tf2ss", "ss2tf"]
+           "bilinear", "tf2ss", "ss2tf",
+           "lsim", "impulse", "step", "dlsim", "dimpulse", "dstep",
+           "bode", "freqresp", "dbode"]
 
 
 def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
@@ -284,3 +286,177 @@ def cont2discrete(system, dt: float, method: str = "zoh"
         bd = (np.poly(Ad - Bd @ cvec[None, :]) - ad) + d * ad
         return padded(bd, ad)
     raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# LTI simulation (scipy.signal lsim/impulse/step + discrete counterparts)
+# ---------------------------------------------------------------------------
+
+def _expm_foh(A: np.ndarray, B: np.ndarray, dt: float):
+    """(Ad, F0, F1): exact propagation of x' = Ax + Bu over one step with
+    LINEARLY interpolated input (first-order hold):
+    x(dt) = Ad x0 + F0 u0 + F1 u1, via one augmented matrix exponential
+    with top blocks [Ad | P | Q], P = int e^{A(dt-s)} B ds,
+    Q = int e^{A(dt-s)} B s/dt ds."""
+    from scipy.linalg import expm
+    n = A.shape[0]
+    m = np.zeros((n + 2, n + 2))
+    m[:n, :n] = A
+    m[:n, n] = B[:, 0]
+    m[n, n + 1] = 1.0 / dt
+    md = expm(m * dt)
+    ad = md[:n, :n]
+    p = md[:n, n]
+    q = md[:n, n + 1]       # the 1/dt ramp slope is inside M already
+    return ad, p - q, q
+
+
+def lsim(system, u, t, *, interp: bool = True
+         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Simulate a continuous-time transfer function (b, a) driven by
+    ``u`` sampled on the UNIFORM grid ``t`` (scipy.signal.lsim semantics
+    for tf systems: returns (t, y, x)).  ``interp=True`` treats u as
+    piecewise-linear (first-order hold, scipy's default), False as
+    zero-order hold; both propagate exactly via matrix exponentials of
+    the controllable-canonical realization — no ODE solver."""
+    b, a = system
+    t = np.asarray(t, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    if t.ndim != 1 or t.size < 2:
+        raise ValueError("t must be a 1-D grid with >= 2 points")
+    dt = t[1] - t[0]
+    if not np.allclose(np.diff(t), dt, rtol=1e-8):
+        raise ValueError("lsim requires a uniformly spaced t")
+    if u.shape != t.shape:
+        raise ValueError("u must match t in shape")
+    A, B, C, D = tf2ss(b, a)
+    n = A.shape[0]
+    x = np.zeros((t.size, n))
+    if n:
+        if interp:
+            ad, f0, f1 = _expm_foh(A, B, dt)
+            for i in range(t.size - 1):
+                x[i + 1] = ad @ x[i] + f0 * u[i] + f1 * u[i + 1]
+        else:
+            from scipy.linalg import expm
+            m = np.zeros((n + 1, n + 1))
+            m[:n, :n] = A
+            m[:n, n] = B[:, 0]
+            md = expm(m * dt)
+            ad, bd = md[:n, :n], md[:n, n]
+            for i in range(t.size - 1):
+                x[i + 1] = ad @ x[i] + bd * u[i]
+    y = x @ C[0] + D[0, 0] * u
+    return t, y, x
+
+
+def impulse(system, *, n: int = 100, t=None
+            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Impulse response of a continuous (b, a) system
+    (scipy.signal.impulse semantics: x0 = B, zero input): (t, y)."""
+    b, a = system
+    A, B, C, D = tf2ss(b, a)
+    t = _default_t(A, n) if t is None else np.asarray(t, np.float64)
+    from scipy.linalg import expm
+    dt = t[1] - t[0]
+    ad = expm(A * dt)
+    x = B[:, 0].copy()
+    y = np.empty(t.size)
+    for i in range(t.size):
+        y[i] = C[0] @ x
+        x = ad @ x
+    return t, y
+
+
+def step(system, *, n: int = 100, t=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Step response of a continuous (b, a) system
+    (scipy.signal.step semantics): (t, y)."""
+    b, a = system
+    A, _, _, _ = tf2ss(b, a)
+    t = _default_t(A, n) if t is None else np.asarray(t, np.float64)
+    tout, y, _ = lsim(system, np.ones_like(t), t)
+    return tout, y
+
+
+def _default_t(A: np.ndarray, n: int) -> np.ndarray:
+    """Response horizon from the slowest pole (scipy's _default_response_times:
+    7 time constants of the least-damped mode)."""
+    if A.shape[0]:
+        vals = np.linalg.eigvals(A)
+        r = np.min(np.abs(np.real(vals)))
+        if r == 0.0 or np.isnan(r):
+            r = 1.0
+        tc = 1.0 / r
+    else:
+        tc = 1.0
+    return np.linspace(0.0, 7.0 * tc, int(n))
+
+
+def dlsim(system, u, t=None, x0=None
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Simulate a discrete transfer function (b, a, dt) driven by ``u``
+    (scipy.signal.dlsim tf semantics): returns (tout, yout) — the output
+    IS the framework lfilter run host-side in f64 (x0 must be None for
+    the tf form, as in scipy)."""
+    b, a, dt = system
+    if x0 is not None:
+        raise ValueError("x0 is only meaningful for state-space systems")
+    u = np.asarray(u, dtype=np.float64)
+    tout = (np.arange(u.shape[0]) * float(dt) if t is None
+            else np.asarray(t, np.float64))
+    import jax.numpy as jnp
+
+    from simpledsp_tpu.ops.lfilter import lfilter_scan
+    y, _ = lfilter_scan(b, a, jnp.asarray(u, jnp.float64))
+    return tout, np.asarray(y)
+
+
+def dimpulse(system, *, n: int = 100) -> Tuple[np.ndarray, Tuple]:
+    """Discrete impulse response (scipy.signal.dimpulse tf semantics):
+    (tout, (y,))."""
+    b, a, dt = system
+    u = np.zeros(int(n))
+    u[0] = 1.0
+    tout, y = dlsim((b, a, dt), u)
+    return tout, (y,)
+
+
+def dstep(system, *, n: int = 100) -> Tuple[np.ndarray, Tuple]:
+    """Discrete step response (scipy.signal.dstep tf semantics):
+    (tout, (y,))."""
+    b, a, dt = system
+    tout, y = dlsim((b, a, dt), np.ones(int(n)))
+    return tout, (y,)
+
+
+def freqresp(system, w) -> Tuple[np.ndarray, np.ndarray]:
+    """Continuous frequency response H(jw) (scipy.signal.freqresp
+    semantics with explicit w)."""
+    from simpledsp_tpu.ops.lfilter import freqs
+    b, a = system
+    return freqs(b, a, worN=np.asarray(w, np.float64))
+
+
+def bode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bode magnitude (dB) and phase (degrees, unwrapped) of a
+    continuous (b, a) system (scipy.signal.bode semantics with
+    explicit w)."""
+    w, h = freqresp(system, w)
+    mag = 20.0 * np.log10(np.abs(h))
+    phase = np.degrees(np.unwrap(np.angle(h)))
+    return w, mag, phase
+
+
+def dbode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Discrete Bode plot data for (b, a, dt)
+    (scipy.signal.dbode semantics with explicit w in rad/s)."""
+    b, a, dt = system
+    wn = np.asarray(w, np.float64) * float(dt)
+    z = np.exp(-1j * wn)
+    b64 = np.atleast_1d(np.asarray(b, np.float64))
+    a64 = np.atleast_1d(np.asarray(a, np.float64))
+    h = np.polynomial.polynomial.polyval(z, b64) \
+        / np.polynomial.polynomial.polyval(z, a64)
+    mag = 20.0 * np.log10(np.abs(h))
+    phase = np.degrees(np.unwrap(np.angle(h)))
+    return np.asarray(w, np.float64), mag, phase

@@ -440,3 +440,70 @@ class TestDesignGlue:
         np.testing.assert_allclose(h1, h2, atol=1e-5)
         with pytest.raises(ValueError):
             iirdesign(wp, ws, gp, gs, ftype="gaussian")
+
+
+class TestLTISimulation:
+    """lsim / impulse / step / dlsim family vs scipy (design/ltisys.py)."""
+
+    def test_lsim_foh_and_zoh_match_scipy(self, rng):
+        from simpledsp_tpu.design import ltisys as lt
+        bc, ac = sig.butter(3, 8.0, analog=True)
+        t = np.linspace(0, 2, 201)
+        u = np.sin(3 * t) + 0.2 * rng.standard_normal(t.size)
+        for interp in (True, False):
+            _, y1, _ = lt.lsim((bc, ac), u, t, interp=interp)
+            _, y2, _ = sig.lsim((bc, ac), u, t, interp=interp)
+            np.testing.assert_allclose(y1, y2, atol=1e-12)
+        with pytest.raises(ValueError):
+            lt.lsim((bc, ac), u, t ** 2)      # non-uniform grid
+        with pytest.raises(ValueError):
+            lt.lsim((bc, ac), u[:-1], t)
+
+    def test_impulse_step_match_scipy(self):
+        from simpledsp_tpu.design import ltisys as lt
+        bc, ac = sig.butter(3, 8.0, analog=True)
+        t = np.linspace(0, 2, 201)
+        _, y1 = lt.impulse((bc, ac), t=t)
+        _, y2 = sig.impulse((bc, ac), T=t)
+        np.testing.assert_allclose(y1, y2, atol=1e-12)
+        _, y1 = lt.step((bc, ac), t=t)
+        _, y2 = sig.step((bc, ac), T=t)
+        np.testing.assert_allclose(y1, y2, atol=1e-12)
+        # default horizon: same length, finite values
+        td, yd = lt.impulse((bc, ac))
+        assert td.size == 100 and np.all(np.isfinite(yd))
+
+    def test_discrete_family_matches_scipy(self, rng):
+        from simpledsp_tpu.design import ltisys as lt
+        bc, ac = sig.butter(3, 8.0, analog=True)
+        bd, ad, dt = lt.cont2discrete((bc, ac), 0.01)
+        u = rng.standard_normal(100)
+        tout, y = lt.dlsim((bd, ad, dt), u)
+        t2, y2 = sig.dlsim((bd, ad, dt), u)
+        np.testing.assert_allclose(tout, t2)
+        np.testing.assert_allclose(y, np.squeeze(y2), atol=1e-12)
+        _, (ya,) = lt.dimpulse((bd, ad, dt), n=50)
+        _, (yb,) = sig.dimpulse((bd, ad, dt), n=50)
+        np.testing.assert_allclose(ya, np.squeeze(yb), atol=1e-12)
+        _, (ya,) = lt.dstep((bd, ad, dt), n=50)
+        _, (yb,) = sig.dstep((bd, ad, dt), n=50)
+        np.testing.assert_allclose(ya, np.squeeze(yb), atol=1e-12)
+        with pytest.raises(ValueError):
+            lt.dlsim((bd, ad, dt), u, x0=np.zeros(3))
+
+    def test_bode_freqresp_match_scipy(self):
+        from simpledsp_tpu.design import ltisys as lt
+        bc, ac = sig.butter(3, 8.0, analog=True)
+        w = np.logspace(-1, 2, 60)
+        w1, m1, p1 = lt.bode((bc, ac), w)
+        w2, m2, p2 = sig.bode((bc, ac), w=w)
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+        np.testing.assert_allclose(p1, p2, atol=1e-10)
+        _, h1 = lt.freqresp((bc, ac), w)
+        _, h2 = sig.freqresp((bc, ac), w=w)
+        np.testing.assert_allclose(h1, h2, atol=1e-12)
+        bd, ad, dt = lt.cont2discrete((bc, ac), 0.01)
+        w1, m1, p1 = lt.dbode((bd, ad, dt), w[:30])
+        w2, m2, p2 = sig.dbode((bd, ad, dt), w=w[:30] * dt)
+        np.testing.assert_allclose(m1, m2, atol=1e-10)
+        np.testing.assert_allclose(p1, p2, atol=1e-10)
