@@ -78,6 +78,13 @@ from simpledsp_tpu.design.ltisys import (
     zpk2tf,
 )
 from simpledsp_tpu.design.optimal_fir import firls, minimum_phase, remez
+from simpledsp_tpu.design.residues import (
+    invres,
+    invresz,
+    residue,
+    residuez,
+    unique_roots,
+)
 from simpledsp_tpu.design.windows import (get_window, kaiser_atten,
                                            kaiserord)
 from simpledsp_tpu.ops.fft import (
