@@ -37,7 +37,7 @@ from simpledsp_tpu.design.fir import (
     pfb_prototype_taps,
     resampler_taps,
 )
-from simpledsp_tpu.design.fir import firwin, rrc_taps
+from simpledsp_tpu.design.fir import firwin, firwin_2d, rrc_taps
 from simpledsp_tpu.design.iir import (
     bessel,
     butter,
@@ -131,6 +131,8 @@ from simpledsp_tpu.ops.conv import (
     correlate,
     correlation_lags,
     deconvolve,
+    fftconvolve,
+    oaconvolve,
 )
 from simpledsp_tpu.ops.conv2d import convolve2d, correlate2d
 from simpledsp_tpu.ops.lfilter import (

@@ -220,6 +220,32 @@ def firwin(num_taps: int, cutoff, *, window="hamming",
     return h / np.sum(h * c)
 
 
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
+              circular: bool = False) -> np.ndarray:
+    """2-D windowed-sinc FIR design (scipy.signal.firwin_2d semantics):
+    separable outer product of two 1-D :func:`firwin` kernels, or an
+    approximately circularly symmetric kernel by radial interpolation of
+    an 8x-oversampled 1-D design (scipy's construction, replicated
+    exactly)."""
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if circular:
+        if fc is None:
+            raise ValueError("fc must be provided when circular=True")
+        n_r = max(hsize[0], hsize[1]) * 8
+        win_r = firwin(n_r, fc, window=window, fs=fs)
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, hsize[0]),
+                             np.linspace(-1, 1, hsize[1]))
+        r = np.sqrt(f1 ** 2 + f2 ** 2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2 or isinstance(window, str):
+        raise ValueError("window must be a 2-element tuple or list for "
+                         "the separable form")
+    row = firwin(hsize[0], fc, window=window[0], fs=fs)
+    col = firwin(hsize[1], fc, window=window[1], fs=fs)
+    return np.outer(row, col)
+
+
 def resampler_taps(up: int, down: int, taps_per_phase: int = 24,
                    atten_db: float = 80.0) -> np.ndarray:
     """Anti-alias prototype for rational up/down resampling.

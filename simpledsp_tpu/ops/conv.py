@@ -28,7 +28,8 @@ import numpy as np
 
 from simpledsp_tpu.ops.fft import _as_ri, _pick_real_dtype, fft_ri, ifft_ri
 
-__all__ = ["convolve", "correlate", "correlation_lags", "deconvolve"]
+__all__ = ["convolve", "correlate", "correlation_lags", "deconvolve",
+           "fftconvolve", "oaconvolve"]
 
 # Trace-time switch for the fused OLS kernel route (kernels/ols.py) —
 # measured 3.9x over the XLA overlap-save route within one process
@@ -189,6 +190,27 @@ def correlate(x: jnp.ndarray, h, mode: str = "full", *,
         # overlap-save route available under jit).
         h = np.conj(np.asarray(h))[::-1]
     return convolve(x, h, mode, method=method, dtype=dtype)
+
+
+def fftconvolve(x: jnp.ndarray, h, mode: str = "full", *,
+                dtype=None) -> jnp.ndarray:
+    """FFT-domain convolution by the familiar scipy name
+    (scipy.signal.fftconvolve semantics for 1-D taps over the last
+    axis) — :func:`convolve` forced onto the transform route, which on
+    TPU is the four-step engine or, for long real signals, the fused
+    overlap-save Pallas kernel."""
+    return convolve(x, h, mode, method="fft", dtype=dtype)
+
+
+def oaconvolve(x: jnp.ndarray, h, mode: str = "full", *,
+               dtype=None) -> jnp.ndarray:
+    """Overlap-add-style block convolution by the familiar scipy name
+    (scipy.signal.oaconvolve's use case: one long signal against short
+    taps).  Routed through :func:`convolve`'s streaming overlap-SAVE
+    blocks — the mathematically identical work split this framework's
+    fused kernel implements (kernels/ols.py); identical outputs to
+    fftconvolve, better memory behavior on long signals."""
+    return convolve(x, h, mode, method="fft", dtype=dtype)
 
 
 def correlation_lags(in1_len: int, in2_len: int,

@@ -274,3 +274,32 @@ class TestResamplePoly:
             resample_poly(x, 2, 3, padtype="wrap")
         with pytest.raises(ValueError):
             resample_poly(x, 2, 3, window=np.ones((3, 3)))
+
+
+def test_firwin_2d_matches_scipy():
+    from simpledsp_tpu.design.fir import firwin_2d
+    a = firwin_2d((15, 21), ("hamming", "blackman"), fc=0.3)
+    b = sig.firwin_2d((15, 21), ("hamming", "blackman"), fc=0.3)
+    np.testing.assert_allclose(a, b, atol=1e-15)
+    a = firwin_2d((17, 17), "hamming", fc=0.4, circular=True)
+    b = sig.firwin_2d((17, 17), "hamming", fc=0.4, circular=True)
+    np.testing.assert_allclose(a, b, atol=1e-15)
+    with pytest.raises(ValueError):
+        firwin_2d((15,), ("hamming", "hamming"), fc=0.3)
+    with pytest.raises(ValueError):
+        firwin_2d((15, 15), "hamming", circular=True)      # no fc
+    with pytest.raises(ValueError):
+        firwin_2d((15, 15), "hamming", fc=0.3)             # non-pair window
+
+
+def test_fftconvolve_oaconvolve_aliases(rng):
+    from simpledsp_tpu.ops.conv import fftconvolve, oaconvolve
+    x = rng.standard_normal(500)
+    h = rng.standard_normal(31)
+    for mode in ("full", "same", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(fftconvolve(jnp.asarray(x), h, mode)),
+            sig.fftconvolve(x, h, mode), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(oaconvolve(jnp.asarray(x), h, mode)),
+            sig.oaconvolve(x, h, mode), atol=1e-12)
