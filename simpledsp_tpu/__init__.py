@@ -60,6 +60,7 @@ from simpledsp_tpu.design.ltisys import (
     bode,
     cont2discrete,
     dbode,
+    dfreqresp,
     dimpulse,
     dlsim,
     dstep,
@@ -124,6 +125,7 @@ from simpledsp_tpu.ops.fir import (
     fir_filter,
     resample,
     resample_poly,
+    upfirdn,
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import (

@@ -24,7 +24,7 @@ __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
            "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
            "bilinear", "tf2ss", "ss2tf",
            "lsim", "impulse", "step", "dlsim", "dimpulse", "dstep",
-           "bode", "freqresp", "dbode"]
+           "bode", "freqresp", "dbode", "dfreqresp"]
 
 
 def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
@@ -445,6 +445,19 @@ def bode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     mag = 20.0 * np.log10(np.abs(h))
     phase = np.degrees(np.unwrap(np.angle(h)))
     return w, mag, phase
+
+
+def dfreqresp(system, w) -> Tuple[np.ndarray, np.ndarray]:
+    """Discrete frequency response H(e^{j w dt}) for (b, a, dt)
+    (scipy.signal.dfreqresp semantics with explicit w in rad/s)."""
+    b, a, dt = system
+    wn = np.asarray(w, np.float64) * float(dt)
+    z = np.exp(-1j * wn)
+    b64 = np.atleast_1d(np.asarray(b, np.float64))
+    a64 = np.atleast_1d(np.asarray(a, np.float64))
+    h = np.polynomial.polynomial.polyval(z, b64) \
+        / np.polynomial.polynomial.polyval(z, a64)
+    return np.asarray(w, np.float64), h
 
 
 def dbode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

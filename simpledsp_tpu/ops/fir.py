@@ -42,7 +42,29 @@ __all__ = [
     "fir_filter",
     "resample",
     "decimate",
+    "upfirdn",
 ]
+
+
+def upfirdn(h, x: jnp.ndarray, up: int = 1, down: int = 1) -> jnp.ndarray:
+    """Upsample -> FIR -> downsample by the familiar name
+    (scipy.signal.upfirdn semantics over the last axis, including the
+    FULL tail-flushed output length ceil(((T-1) up + len(h)) / down)):
+    the streaming :class:`PolyphaseResampler` engine fed a zero-extended
+    input to flush the filter tail, then sliced to scipy's length."""
+    h = np.asarray(h, dtype=np.float64)
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    t = x.shape[-1]
+    out_len = -(-((t - 1) * up + h.size) // down)
+    need_in = -(-out_len * down // up)
+    pad = max(0, need_in - t)
+    pad += (-(t + pad)) % down
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    y, _ = PolyphaseResampler(h, up=up, down=down, dtype=x.dtype)(x)
+    return y[..., :out_len]
 
 
 def resample(x: jnp.ndarray, num: int) -> jnp.ndarray:

@@ -507,3 +507,13 @@ class TestLTISimulation:
         w2, m2, p2 = sig.dbode((bd, ad, dt), w=w[:30] * dt)
         np.testing.assert_allclose(m1, m2, atol=1e-10)
         np.testing.assert_allclose(p1, p2, atol=1e-10)
+
+
+def test_dfreqresp_matches_scipy():
+    from simpledsp_tpu.design import ltisys as lt
+    bc, ac = sig.butter(3, 8.0, analog=True)
+    bd, ad, dt = lt.cont2discrete((bc, ac), 0.01)
+    w = np.linspace(0.1, 100.0, 40)
+    w1, h1 = lt.dfreqresp((bd, ad, dt), w)
+    w2, h2 = sig.dfreqresp((bd, ad, dt), w=w * dt)
+    np.testing.assert_allclose(h1, h2, atol=1e-12)

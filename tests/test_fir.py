@@ -303,3 +303,17 @@ def test_fftconvolve_oaconvolve_aliases(rng):
         np.testing.assert_allclose(
             np.asarray(oaconvolve(jnp.asarray(x), h, mode)),
             sig.oaconvolve(x, h, mode), atol=1e-12)
+
+
+@pytest.mark.parametrize("up,down,n,m", [(3, 2, 100, 31), (1, 4, 97, 24),
+                                         (4, 1, 50, 16), (5, 7, 211, 61),
+                                         (1, 1, 40, 7)])
+def test_upfirdn_full_length_matches_scipy(rng, up, down, n, m):
+    from simpledsp_tpu.ops.fir import upfirdn
+    h = rng.standard_normal(m)
+    x = rng.standard_normal((2, n))
+    got = np.asarray(upfirdn(h, jnp.asarray(x), up, down))
+    ref = np.stack([sig.upfirdn(h, x[i], up=up, down=down)
+                    for i in range(2)])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-12)
