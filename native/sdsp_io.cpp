@@ -347,3 +347,52 @@ uint64_t sdsp_file_sink_stop(SdspFileSink* s) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Maximum-length-sequence (MLS) generator — Fibonacci LFSR.
+//
+// The recurrence is inherently serial bit work (the one workload in the
+// framework that belongs in native code rather than numpy or XLA):
+// with s[0:nbits] = state, the output is seq[i] = s[i] and
+// s[i+nbits] = s[i] ^ XOR_{t in taps} s[i+t].  Generates in place into
+// `out` (seq IS the s-stream), then advances a copy of the window to
+// produce the final state for streaming continuation.
+// ---------------------------------------------------------------------------
+
+void sdsp_mls(int32_t nbits, const int32_t* taps, int32_t ntaps,
+              const uint8_t* state_in, uint8_t* out, int64_t n_out,
+              uint8_t* state_out) {
+    const int64_t head = n_out < nbits ? n_out : nbits;
+    for (int64_t i = 0; i < head; ++i) out[i] = state_in[i];
+    for (int64_t i = 0; i + nbits < n_out; ++i) {
+        uint8_t fb = out[i];
+        for (int32_t t = 0; t < ntaps; ++t) fb ^= out[i + taps[t]];
+        out[i + nbits] = fb;
+    }
+    // Final state: the window s[n_out : n_out + nbits].  Continue the
+    // recurrence in a scratch window seeded from the stream tail.
+    uint8_t win[64];
+    if (n_out >= nbits) {
+        for (int32_t j = 0; j < nbits; ++j)
+            win[j] = out[n_out - nbits + j];
+        for (int32_t step = 0; step < nbits; ++step) {
+            uint8_t fb = win[0];
+            for (int32_t t = 0; t < ntaps; ++t) fb ^= win[taps[t]];
+            std::memmove(win, win + 1, static_cast<size_t>(nbits - 1));
+            win[nbits - 1] = fb;
+        }
+    } else {
+        for (int32_t j = 0; j < nbits; ++j) win[j] = state_in[j];
+        for (int64_t step = 0; step < n_out; ++step) {
+            uint8_t fb = win[0];
+            for (int32_t t = 0; t < ntaps; ++t) fb ^= win[taps[t]];
+            std::memmove(win, win + 1, static_cast<size_t>(nbits - 1));
+            win[nbits - 1] = fb;
+        }
+    }
+    for (int32_t j = 0; j < nbits; ++j) state_out[j] = win[j];
+}
+
+}  // extern "C" (MLS)

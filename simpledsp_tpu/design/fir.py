@@ -97,14 +97,20 @@ def _firwin_bands(num_taps: int, bands, window: str,
     for left, right in bands:
         h += right * np.sinc(right * m) - left * np.sinc(left * m)
     h *= _window_taps(window, num_taps, atten_db)
-    if bands[0][0] == 0.0:
-        scale_f = 0.0
-    elif bands[-1][1] == 1.0:
-        scale_f = 1.0
-    else:
-        scale_f = 0.5 * (bands[0][0] + bands[0][1])
-    c = np.cos(np.pi * m * scale_f)
+    c = np.cos(np.pi * m * _scale_frequency(bands))
     return h / np.sum(h * c)
+
+
+def _scale_frequency(bands) -> float:
+    """scipy.signal.firwin's unity-response point: decided by the FIRST
+    band alone — DC if it starts at 0, Nyquist if it (itself) ends
+    there, else its midpoint."""
+    left, right = bands[0]
+    if left == 0.0:
+        return 0.0
+    if right == 1.0:
+        return 1.0
+    return 0.5 * (left + right)
 
 
 def highpass_taps(num_taps: int, cutoff: float, fs: float = 2.0,
@@ -210,13 +216,7 @@ def firwin(num_taps: int, cutoff, *, window="hamming",
     for left, right in bands:
         h += right * np.sinc(right * m) - left * np.sinc(left * m)
     h *= _window_taps_sym(window, num_taps)
-    if bands[0][0] == 0.0:
-        scale_f = 0.0
-    elif bands[-1][1] == 1.0:
-        scale_f = 1.0
-    else:
-        scale_f = 0.5 * (bands[0][0] + bands[0][1])
-    c = np.cos(np.pi * m * scale_f)
+    c = np.cos(np.pi * m * _scale_frequency(bands))
     return h / np.sum(h * c)
 
 

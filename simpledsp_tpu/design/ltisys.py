@@ -50,7 +50,6 @@ def tf2zpk(b, a) -> Tuple[np.ndarray, np.ndarray, float]:
     b = np.atleast_1d(b)
     if b.ndim != 1:
         raise ValueError("tf2zpk expects a single-row numerator")
-    k = b[0] if b[0] != 0.0 else 1.0
     if b[0] == 0.0:
         z = np.roots(b)
         k = 0.0
@@ -66,9 +65,10 @@ def zpk2tf(z, p, k: float) -> Tuple[np.ndarray, np.ndarray]:
     real-valued output when roots come in conjugate pairs."""
     z = np.atleast_1d(np.asarray(z))
     p = np.atleast_1d(np.asarray(p))
-    b = float(k) * np.poly(z)
+    zpoly = np.poly(z)
+    b = float(k) * zpoly
     a = np.poly(p)
-    if np.isrealobj(np.poly(z)) or _conj_paired(z):
+    if np.isrealobj(zpoly) or _conj_paired(z):
         b = np.real(b)
     if _conj_paired(p):
         a = np.real(a)
@@ -119,7 +119,7 @@ def sos2zpk(sos) -> Tuple[np.ndarray, np.ndarray, float]:
         z[2 * i + len(zi): 2 * i + 2] = 0.0
         p[2 * i: 2 * i + len(pi)] = pi
         p[2 * i + len(pi): 2 * i + 2] = 0.0
-        k *= row[0]
+        k *= row[0] / row[3]       # section gain is b0/a0
     return z, p, k
 
 
@@ -392,15 +392,33 @@ def _default_t(A: np.ndarray, n: int) -> np.ndarray:
     return np.linspace(0.0, 7.0 * tc, int(n))
 
 
+def _pad_z_num(b, a) -> Tuple[np.ndarray, np.ndarray]:
+    """scipy's dlti convention is polynomials in z (descending powers):
+    a numerator SHORTER than the denominator carries relative degree,
+    i.e. extra delay.  Left-pad it with zeros so the z^-1-convention
+    machinery (lfilter, unit-circle polyval) reproduces that delay
+    exactly; a numerator longer than the denominator is non-causal."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if b.size > a.size:
+        raise ValueError("numerator degree exceeds denominator degree "
+                         "(non-causal discrete system)")
+    if b.size < a.size:
+        b = np.concatenate([np.zeros(a.size - b.size), b])
+    return b, a
+
+
 def dlsim(system, u, t=None, x0=None
           ) -> Tuple[np.ndarray, np.ndarray]:
     """Simulate a discrete transfer function (b, a, dt) driven by ``u``
-    (scipy.signal.dlsim tf semantics): returns (tout, yout) — the output
-    IS the framework lfilter run host-side in f64 (x0 must be None for
-    the tf form, as in scipy)."""
+    (scipy.signal.dlsim tf semantics, INCLUDING the z-polynomial
+    convention: a shorter numerator is relative degree = delay): returns
+    (tout, yout) — the output IS the framework lfilter run host-side in
+    f64 (x0 must be None for the tf form, as in scipy)."""
     b, a, dt = system
     if x0 is not None:
         raise ValueError("x0 is only meaningful for state-space systems")
+    b, a = _pad_z_num(b, a)
     u = np.asarray(u, dtype=np.float64)
     tout = (np.arange(u.shape[0]) * float(dt) if t is None
             else np.asarray(t, np.float64))
@@ -449,12 +467,13 @@ def bode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def dfreqresp(system, w) -> Tuple[np.ndarray, np.ndarray]:
     """Discrete frequency response H(e^{j w dt}) for (b, a, dt)
-    (scipy.signal.dfreqresp semantics with explicit w in rad/s)."""
+    (scipy.signal.dfreqresp semantics with explicit w in rad/s; the
+    z-polynomial relative-degree convention is honored via
+    :func:`_pad_z_num`)."""
     b, a, dt = system
+    b64, a64 = _pad_z_num(b, a)
     wn = np.asarray(w, np.float64) * float(dt)
     z = np.exp(-1j * wn)
-    b64 = np.atleast_1d(np.asarray(b, np.float64))
-    a64 = np.atleast_1d(np.asarray(a, np.float64))
     h = np.polynomial.polynomial.polyval(z, b64) \
         / np.polynomial.polynomial.polyval(z, a64)
     return np.asarray(w, np.float64), h
@@ -464,10 +483,9 @@ def dbode(system, w) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Discrete Bode plot data for (b, a, dt)
     (scipy.signal.dbode semantics with explicit w in rad/s)."""
     b, a, dt = system
+    b64, a64 = _pad_z_num(b, a)
     wn = np.asarray(w, np.float64) * float(dt)
     z = np.exp(-1j * wn)
-    b64 = np.atleast_1d(np.asarray(b, np.float64))
-    a64 = np.atleast_1d(np.asarray(a, np.float64))
     h = np.polynomial.polynomial.polyval(z, b64) \
         / np.polynomial.polynomial.polyval(z, a64)
     mag = 20.0 * np.log10(np.abs(h))

@@ -183,11 +183,14 @@ def correlate(x: jnp.ndarray, h, mode: str = "full", *,
     """Cross-correlation over the last axis (scipy.signal.correlate
     semantics: ``z[k] = sum_j x[j + k - (m - 1)] conj(h[j])``), i.e.
     ``convolve(x, conj(h[::-1]))``."""
-    if isinstance(h, jax.core.Tracer):
+    if isinstance(h, (jax.core.Tracer, jax.Array)):
+        # Device/traced taps stay on device (a np.asarray fetch would
+        # block per call, and complex device->host DMA is forbidden on
+        # the axon runtime).
         h = jnp.conj(h)[::-1] if jnp.iscomplexobj(h) else h[::-1]
     else:
-        # Flip host-side so convolve still sees concrete taps (keeps the
-        # overlap-save route available under jit).
+        # Flip host-side so convolve still sees concrete HOST taps
+        # (keeps the overlap-save route available under jit).
         h = np.conj(np.asarray(h))[::-1]
     return convolve(x, h, mode, method=method, dtype=dtype)
 

@@ -146,9 +146,13 @@ def convolve2d(x: jnp.ndarray, h, mode: str = "full", *,
 
     xr, xi = _as_ri(x, rdt) if cplx else (x.astype(rdt), None)
     hr, hi = _as_ri(h, rdt) if cplx else (h.astype(rdt), None)
-    # Concrete taps unlock the fused Pallas direct kernel (tap values are
-    # baked into the unrolled FMA chain at trace time).
-    h_host = None if isinstance(h_in, jax.core.Tracer) else np.asarray(h_in)
+    # Concrete HOST taps (numpy/list) unlock the fused Pallas direct
+    # kernel (tap values bake into the unrolled FMA chain at trace
+    # time).  Device arrays are left on device even when concrete: a
+    # np.asarray fetch would block per call, and complex device->host
+    # DMA is forbidden on the axon runtime outright.
+    h_host = (None if isinstance(h_in, (jax.core.Tracer, jax.Array))
+              else np.asarray(h_in))
 
     def conv_real(img, ker, ker_host):
         imgp = _pad_boundary(img, kh, kw, boundary, fillvalue)
@@ -180,13 +184,14 @@ def correlate2d(x: jnp.ndarray, h, mode: str = "full", *,
     """2-D cross-correlation (scipy.signal.correlate2d semantics):
     convolution with the conjugated, 180-degree-rotated kernel on the
     same full-output grid."""
-    if isinstance(h, jax.core.Tracer):
+    if isinstance(h, (jax.core.Tracer, jax.Array)):
         if h.ndim != 2:
             raise ValueError(f"kernel must be 2-D, got shape {h.shape}")
         hf = jnp.conj(h[::-1, ::-1])
     else:
-        # Flip host-side so convolve2d still sees concrete taps (keeps
-        # the fused direct kernel available under jit).
+        # Flip host-side so convolve2d still sees concrete HOST taps
+        # (keeps the fused direct kernel available under jit); device
+        # arrays stay on device (no blocking/complex DMA).
         hnp = np.asarray(h)
         if hnp.ndim != 2:
             raise ValueError(f"kernel must be 2-D, got shape {hnp.shape}")

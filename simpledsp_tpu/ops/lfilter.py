@@ -82,20 +82,24 @@ def freqz(b, a=1.0, n: int = 512, *, fs: float = 2.0 * np.pi
     return w * (fs / (2.0 * np.pi)), h
 
 
-def freqs(b, a, n: int = 200, worN=None) -> Tuple[np.ndarray, np.ndarray]:
+def freqs(b, a, worN=200) -> Tuple[np.ndarray, np.ndarray]:
     """Analog (s-domain) frequency response of B(s)/A(s)
-    (scipy.signal.freqs semantics): H(jw) on ``worN`` rad/s points, or
-    ``n`` log-spaced points around the system's interesting range."""
+    (scipy.signal.freqs semantics, including the POSITIONAL worN
+    convention): an integer picks that many log-spaced points around the
+    system's interesting range; an array evaluates H(jw) at those rad/s
+    points."""
     b64 = np.atleast_1d(np.asarray(b, dtype=np.float64))
     a64 = np.atleast_1d(np.asarray(a, dtype=np.float64))
-    if worN is None:
+    worN_arr = np.asarray(worN)
+    if worN_arr.ndim == 0 and np.issubdtype(worN_arr.dtype, np.integer):
         roots = np.concatenate([np.roots(a64) if a64.size > 1 else [],
                                 np.roots(b64) if b64.size > 1 else []])
         mags = np.abs(roots[np.abs(roots) > 0]) if roots.size else []
         center = np.median(mags) if len(mags) else 1.0
-        w = np.logspace(np.log10(center) - 2, np.log10(center) + 2, n)
+        w = np.logspace(np.log10(center) - 2, np.log10(center) + 2,
+                        int(worN))
     else:
-        w = np.atleast_1d(np.asarray(worN, dtype=np.float64))
+        w = np.atleast_1d(worN_arr.astype(np.float64))
     s = 1j * w
     h = np.polyval(b64, s) / np.polyval(a64, s)
     return w, h
@@ -116,12 +120,17 @@ def freqs_zpk(z, p, k: float, worN) -> Tuple[np.ndarray, np.ndarray]:
     return w, h
 
 
-def freqz_zpk(z, p, k: float, n: int = 512, *, fs: float = 2.0 * np.pi
+def freqz_zpk(z, p, k: float, n=512, *, fs: float = 2.0 * np.pi
               ) -> Tuple[np.ndarray, np.ndarray]:
     """Digital frequency response from zeros/poles/gain
-    (scipy.signal.freqz_zpk(worN=n) semantics): product over roots on
-    the unit circle."""
-    w = np.linspace(0.0, np.pi, n, endpoint=False)
+    (scipy.signal.freqz_zpk semantics): product over roots on the unit
+    circle.  ``n`` is a point count over [0, fs/2), or an explicit array
+    of frequencies in the units of ``fs`` (scipy's worN array form)."""
+    n_arr = np.asarray(n)
+    if n_arr.ndim == 0 and np.issubdtype(n_arr.dtype, np.integer):
+        w = np.linspace(0.0, np.pi, int(n), endpoint=False)
+    else:
+        w = np.atleast_1d(n_arr.astype(np.float64)) * (2.0 * np.pi / fs)
     zv = np.exp(1j * w)
     h = np.full(w.shape, complex(k))
     for zi in np.atleast_1d(z):

@@ -39,9 +39,11 @@ def _local_maxima(x: np.ndarray):
             np.asarray(res, dtype=np.intp))
 
 
-def _interval(arg, n_peaks: int, name: str):
+def _interval(arg, x: np.ndarray, peaks: np.ndarray, name: str):
     """(min, max) arrays from a scalar / 2-sequence / array spec —
-    scipy's `_unpack_condition_args` semantics."""
+    scipy's `_unpack_condition_args` semantics: ONLY a plain Python
+    tuple/list of length 2 is an interval; array conditions must have
+    the SIGNAL's length and are sampled at the current peak positions."""
     if isinstance(arg, (tuple, list)) and len(arg) == 2:
         lo, hi = arg
     else:
@@ -52,10 +54,11 @@ def _interval(arg, n_peaks: int, name: str):
             return None
         v = np.asarray(v, dtype=np.float64)
         if v.ndim == 0:
-            return np.full(n_peaks, float(v))
-        if v.size != n_peaks:
-            raise ValueError(f"array {name} must match the signal length")
-        return v
+            return np.full(peaks.size, float(v))
+        if v.size != x.size:
+            raise ValueError(f"array {name} must have the same length as "
+                             "the signal x")
+        return v[peaks]
     return full(lo), full(hi)
 
 
@@ -142,16 +145,14 @@ def peak_widths(x, peaks, rel_height: float = 0.5,
         i = p
         while i > lb[j] and x[i] > h:
             i -= 1
-        if x[i] > h:
-            lips[j] = float(i)
-        else:
+        lips[j] = float(i)
+        if x[i] < h:      # strict: h == x[i] interpolates to i exactly
             lips[j] = i + (h - x[i]) / (x[i + 1] - x[i])
         i = p
         while i < rb[j] and x[i] > h:
             i += 1
-        if x[i] > h:
-            rips[j] = float(i)
-        else:
+        rips[j] = float(i)
+        if x[i] < h:
             rips[j] = i - (h - x[i]) / (x[i - 1] - x[i])
         widths[j] = rips[j] - lips[j]
     return widths, wh, lips, rips
@@ -180,7 +181,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
 
     if plateau_size is not None:
         sizes = re_ - le + 1
-        lo, hi = _interval(plateau_size, peaks.size, "plateau_size")
+        lo, hi = _interval(plateau_size, x, peaks, "plateau_size")
         m = sizes >= lo
         if hi is not None:
             m &= sizes <= hi
@@ -190,7 +191,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
         keep_mask(m)
     if height is not None:
         h = x[peaks]
-        lo, hi = _interval(height, peaks.size, "height")
+        lo, hi = _interval(height, x, peaks, "height")
         m = h >= lo
         if hi is not None:
             m &= h <= hi
@@ -199,7 +200,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
     if threshold is not None:
         tl = x[peaks] - x[peaks - 1]
         tr = x[peaks] - x[peaks + 1]
-        lo, hi = _interval(threshold, peaks.size, "threshold")
+        lo, hi = _interval(threshold, x, peaks, "threshold")
         m = np.ones(peaks.size, dtype=bool)
         if lo is not None:
             m &= np.minimum(tl, tr) >= lo
@@ -216,7 +217,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
         props["left_bases"] = lb
         props["right_bases"] = rb
     if prominence is not None:
-        lo, hi = _interval(prominence, peaks.size, "prominence")
+        lo, hi = _interval(prominence, x, peaks, "prominence")
         m = props["prominences"] >= lo
         if hi is not None:
             m &= props["prominences"] <= hi
@@ -230,7 +231,7 @@ def find_peaks(x, height=None, threshold=None, distance=None,
         props["width_heights"] = wh
         props["left_ips"] = lips
         props["right_ips"] = rips
-        lo, hi = _interval(width, peaks.size, "width")
+        lo, hi = _interval(width, x, peaks, "width")
         m = w >= lo
         if hi is not None:
             m &= w <= hi

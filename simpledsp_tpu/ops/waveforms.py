@@ -162,15 +162,50 @@ def max_len_seq(nbits: int, state: Optional[np.ndarray] = None,
         st = (np.asarray(state) != 0).astype(np.int8)
         if st.shape != (nbits,) or not st.any():
             raise ValueError("state must be nbits long and not all-zero")
+    seq, st = _mls_run(nbits, taps, st, n_out)
+    return jnp.asarray(seq), st
+
+
+def _mls_run(nbits: int, taps, st: np.ndarray, n_out: int):
+    """LFSR inner loop: native C when the runtime library is available
+    (the recurrence is serial bit work — the full period of nbits = 24
+    is ~16.7M dependent steps, minutes in Python and milliseconds in C),
+    with a pure-Python fallback."""
+    if nbits <= 64:
+        try:
+            import ctypes
+
+            from simpledsp_tpu.runtime.stream import load_library
+
+            lib = load_library()
+            fn = lib.sdsp_mls
+            fn.argtypes = [ctypes.c_int32,
+                           np.ctypeslib.ndpointer(np.int32),
+                           ctypes.c_int32,
+                           np.ctypeslib.ndpointer(np.uint8),
+                           np.ctypeslib.ndpointer(np.uint8),
+                           ctypes.c_int64,
+                           np.ctypeslib.ndpointer(np.uint8)]
+            out = np.empty(n_out, dtype=np.uint8)
+            st_out = np.empty(nbits, dtype=np.uint8)
+            fn(np.int32(nbits),
+               np.ascontiguousarray(taps, dtype=np.int32),
+               np.int32(len(taps)),
+               np.ascontiguousarray(st, dtype=np.uint8),
+               out, np.int64(n_out), st_out)
+            return out.astype(np.int8), st_out.astype(np.int8)
+        except Exception:
+            pass
     seq = np.empty(n_out, dtype=np.int8)
+    stl = [int(v) for v in st]
     for i in range(n_out):
-        fb = st[0]
+        fb = stl[0]
         seq[i] = fb
         for t_ in taps:
-            fb ^= st[t_]
-        st = np.roll(st, -1)
-        st[-1] = fb
-    return jnp.asarray(seq), st
+            fb ^= stl[t_]
+        stl = stl[1:]
+        stl.append(fb)
+    return seq, np.asarray(stl, dtype=np.int8)
 
 
 def unit_impulse(shape, idx: Optional[Union[int, Tuple[int, ...]]] = None,

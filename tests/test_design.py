@@ -517,3 +517,28 @@ def test_dfreqresp_matches_scipy():
     w1, h1 = lt.dfreqresp((bd, ad, dt), w)
     w2, h2 = sig.dfreqresp((bd, ad, dt), w=w * dt)
     np.testing.assert_allclose(h1, h2, atol=1e-12)
+
+
+def test_discrete_z_polynomial_convention():
+    """(b, a, dt) uses scipy's z-polynomial convention: a shorter
+    numerator is relative degree = delay (review-fixed regression pin)."""
+    from simpledsp_tpu.design import ltisys as lt
+    sys_ = ([1.0], [1.0, -0.5], 1.0)
+    imp = np.eye(1, 8)[0]
+    _, y1 = lt.dlsim(sys_, imp)
+    _, y2 = sig.dlsim(sys_, imp)
+    np.testing.assert_allclose(y1, np.squeeze(y2), atol=1e-14)
+    w = np.linspace(0.1, 2.0, 20)
+    _, h1 = lt.dfreqresp(sys_, w)
+    _, h2 = sig.dfreqresp(sys_, w=w)
+    np.testing.assert_allclose(h1, h2, atol=1e-14)
+    with pytest.raises(ValueError):
+        lt.dlsim(([1.0, 0, 0, 0], [1.0, -0.5], 1.0), imp)  # non-causal
+
+
+def test_sos2zpk_unnormalized_sections():
+    from simpledsp_tpu.design import ltisys as lt
+    sos = np.array([[2, 1, .5, 2, -.4, .1], [1, .3, .2, 1, -.2, .05]])
+    _, _, k1 = lt.sos2zpk(sos)
+    _, _, k2 = sig.sos2zpk(sos)
+    assert abs(k1 - k2) < 1e-12

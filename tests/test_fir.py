@@ -317,3 +317,14 @@ def test_upfirdn_full_length_matches_scipy(rng, up, down, n, m):
                     for i in range(2)])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_firwin_multiband_scaling_matches_scipy():
+    """Unity-response point is decided by the FIRST band (review-fixed
+    regression pin: multiband pass_zero=False previously scaled at
+    Nyquist)."""
+    for win in ("blackman", "hamming", ("kaiser", 6.0)):
+        from simpledsp_tpu.design import firwin
+        ours = firwin(33, [0.2, 0.4, 0.6], window=win, pass_zero=False)
+        ref = sig.firwin(33, [0.2, 0.4, 0.6], window=win, pass_zero=False)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)

@@ -163,3 +163,20 @@ class TestResponseHelpers:
         y1, _ = lfilter(b, a, jnp.asarray(x), zi=jnp.asarray(zi))
         y2, _ = ss.lfilter(b, a, x, zi=zi)
         np.testing.assert_allclose(np.asarray(y1), y2, atol=1e-12)
+
+
+def test_freqs_positional_worN_and_freqz_zpk_array():
+    """scipy calling conventions (review-fixed regression pin)."""
+    from simpledsp_tpu.ops.lfilter import freqs, freqz_zpk
+    bc, ac = ss.butter(4, 100.0, analog=True)
+    w = np.logspace(0, 3, 50)
+    _, h1 = freqs(bc, ac, w)                  # positional array
+    _, h2 = ss.freqs(bc, ac, worN=w)
+    np.testing.assert_allclose(h1, h2, atol=1e-12)
+    wn, _ = freqs(bc, ac, 64)                 # positional int
+    assert wn.size == 64
+    z, p, k = ss.butter(4, 0.3, output="zpk")
+    warr = np.linspace(0.01, 0.99 * np.pi, 33)
+    _, h1 = freqz_zpk(z, p, k, warr)
+    _, h2 = ss.freqz_zpk(z, p, k, worN=warr)
+    np.testing.assert_allclose(h1, h2, atol=1e-12)

@@ -91,3 +91,24 @@ def test_errors(sig1):
         pk.peak_widths(sig1, [100], rel_height=-1.0)
     with pytest.raises(ValueError):
         pk.argrelmax(sig1, order=0)
+
+
+def test_find_peaks_x_length_condition_arrays(sig1):
+    """Array conditions are SIGNAL-length, sampled at peak positions
+    (scipy semantics — review-fixed regression pin)."""
+    arr = np.full(sig1.size, 1.0)
+    arr[: sig1.size // 2] = 50.0           # suppress the first half
+    a, _ = pk.find_peaks(sig1, height=arr)
+    b, _ = ss.find_peaks(sig1, height=arr)
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        pk.find_peaks(sig1, height=np.ones(7))
+
+
+def test_peak_widths_plateau_rel0_no_nan():
+    x = np.array([0., 1, 2, 2, 2, 1, 0])
+    w, wh, li, ri = pk.peak_widths(x, [3], rel_height=0.0)
+    ref = ss.peak_widths(x, [3], rel_height=0.0)
+    for u, v in zip((w, wh, li, ri), ref):
+        np.testing.assert_allclose(u, v)
+    assert np.all(np.isfinite(w))
