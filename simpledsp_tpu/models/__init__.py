@@ -9,5 +9,5 @@ from simpledsp_tpu.models.sdr import FMReceiverBank, SDRState
 from simpledsp_tpu.models.sdr import AMReceiverBank
 from simpledsp_tpu.models.audio import (MelSpectrogram, griffin_lim,
                                         mel_filterbank, mfcc)
-from simpledsp_tpu.models.comms import (Constellation, LinearModem, awgn,
-                                        ber)
+from simpledsp_tpu.models.comms import (Constellation, LinearModem,
+                                        OFDMModem, awgn, ber)

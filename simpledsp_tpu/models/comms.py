@@ -27,7 +27,7 @@ import numpy as np
 from simpledsp_tpu.design.fir import rrc_taps
 from simpledsp_tpu.ops.fir import PolyphaseInterpolator
 
-__all__ = ["Constellation", "LinearModem", "awgn", "ber"]
+__all__ = ["Constellation", "LinearModem", "OFDMModem", "awgn", "ber"]
 
 
 class Constellation:
@@ -190,6 +190,101 @@ class LinearModem:
         nsym = xr.shape[-1] // self.sps - self.span
         sr, si = sr[..., :nsym], si[..., :nsym]
         return self.constellation.demap_hard(sr, si), (sr, si)
+
+
+class OFDMModem:
+    """Cyclic-prefix OFDM over the framework's batched FFT engine.
+
+    TX: Gray-map bits onto all ``n_fft`` subcarriers per OFDM symbol,
+    inverse FFT (RI planes through ops/fft — MXU matmuls on TPU), prepend
+    the ``cp``-sample cyclic prefix, serialize.  RX: frame, drop the
+    prefix, forward FFT, one-tap zero-forcing equalization against a
+    known channel (the CP turns linear multipath convolution into a
+    per-subcarrier complex scale — the whole point of OFDM), hard
+    decision.  Both directions are single jittable batched programs.
+
+    The channel argument of :meth:`demodulate` is the impulse response
+    (RI pair or None for ideal); equalization divides by its ``n_fft``
+    DFT — exact when the channel is shorter than the prefix.
+    """
+
+    def __init__(self, constellation: Constellation, *, n_fft: int = 64,
+                 cp: int = 16, dtype=jnp.float32):
+        if cp < 0 or cp >= n_fft:
+            raise ValueError(f"need 0 <= cp < n_fft, got {cp}/{n_fft}")
+        self.constellation = constellation
+        self.n_fft = int(n_fft)
+        self.cp = int(cp)
+        self.dtype = jnp.dtype(dtype)
+
+    @property
+    def bits_per_symbol(self) -> int:
+        return self.constellation.bits_per_symbol * self.n_fft
+
+    def modulate(self, bits: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(..., nsym * n_fft * k) bits -> serialized baseband RI planes
+        (..., nsym * (n_fft + cp))."""
+        from simpledsp_tpu.ops.fft import ifft_ri
+
+        k = self.bits_per_symbol
+        if bits.shape[-1] % k:
+            raise ValueError(f"bit count {bits.shape[-1]} not a multiple "
+                             f"of bits/OFDM-symbol {k}")
+        sr, si = self.constellation.map_bits(bits, dtype=self.dtype)
+        sr = sr.reshape(sr.shape[:-1] + (-1, self.n_fft))
+        si = si.reshape(si.shape[:-1] + (-1, self.n_fft))
+        tr, ti = ifft_ri(sr, si)
+        scale = jnp.asarray(np.sqrt(self.n_fft), self.dtype)
+        tr = tr * scale     # unit average time-domain power
+        ti = ti * scale
+        if self.cp:
+            tr = jnp.concatenate([tr[..., -self.cp:], tr], axis=-1)
+            ti = jnp.concatenate([ti[..., -self.cp:], ti], axis=-1)
+        return (tr.reshape(tr.shape[:-2] + (-1,)),
+                ti.reshape(ti.shape[:-2] + (-1,)))
+
+    def demodulate(self, xr: jnp.ndarray, xi: jnp.ndarray,
+                   channel: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                   ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Serialized RI planes -> (bits, equalized subcarrier planes).
+        ``channel``: impulse-response RI pair (length <= cp + 1) for
+        one-tap zero-forcing equalization, or None for an ideal channel.
+        The serialized length must be a multiple of n_fft + cp; with a
+        multipath tail, pass the TX length (extra convolution tail
+        samples beyond it are simply never framed)."""
+        from simpledsp_tpu.ops.fft import fft_ri
+
+        blk = self.n_fft + self.cp
+        nsym = xr.shape[-1] // blk
+        if nsym < 1:
+            raise ValueError("input shorter than one OFDM symbol")
+        xr = xr[..., : nsym * blk].reshape(xr.shape[:-1] + (nsym, blk))
+        xi = xi[..., : nsym * blk].reshape(xi.shape[:-1] + (nsym, blk))
+        fr, fi = fft_ri(xr[..., self.cp:], xi[..., self.cp:])
+        inv_scale = jnp.asarray(1.0 / np.sqrt(self.n_fft), self.dtype)
+        fr = fr * inv_scale
+        fi = fi * inv_scale
+        if channel is not None:
+            hr = np.zeros(self.n_fft)
+            hi = np.zeros(self.n_fft)
+            cr, ci = channel
+            cr = np.asarray(cr, dtype=np.float64).ravel()
+            ci = np.asarray(ci, dtype=np.float64).ravel()
+            if cr.size > self.cp + 1:
+                raise ValueError("channel longer than the cyclic prefix")
+            hr[: cr.size] = cr
+            hi[: ci.size] = ci
+            hf = np.fft.fft(hr + 1j * hi)
+            # zero-forcing: divide by H per subcarrier (host constants)
+            den = np.maximum(np.abs(hf) ** 2, 1e-30)
+            er = jnp.asarray(hf.real / den, self.dtype)
+            ei = jnp.asarray(-hf.imag / den, self.dtype)
+            fr, fi = fr * er - fi * ei, fr * ei + fi * er
+        flat_r = fr.reshape(fr.shape[:-2] + (-1,))
+        flat_i = fi.reshape(fi.shape[:-2] + (-1,))
+        return self.constellation.demap_hard(flat_r, flat_i), (flat_r,
+                                                               flat_i)
 
 
 def awgn(key, planes: Tuple[jnp.ndarray, jnp.ndarray], snr_db: float,

@@ -93,3 +93,59 @@ def test_qpsk_awgn_ber_tracks_theory(rng):
 def test_ber_shape_check():
     with pytest.raises(ValueError):
         ber(jnp.zeros(4), jnp.zeros(5))
+
+
+class TestOFDM:
+    def test_noiseless_loopback_exact(self, rng):
+        from simpledsp_tpu.models.comms import OFDMModem
+        m = OFDMModem(Constellation.qam(16), n_fft=64, cp=16,
+                      dtype=jnp.float64)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 20 * m.bits_per_symbol)))
+        tr, ti = m.modulate(bits)
+        assert tr.shape == (2, 20 * (64 + 16))
+        rx, _ = m.demodulate(tr, ti)
+        assert bool(jnp.all(rx == bits))
+
+    def test_multipath_zero_forcing_exact(self, rng):
+        """The OFDM claim itself: a multipath channel shorter than the
+        cyclic prefix reduces to one complex scale per subcarrier, and
+        zero-forcing equalization recovers every bit exactly."""
+        from simpledsp_tpu.models.comms import OFDMModem
+        m = OFDMModem(Constellation.qam(16), n_fft=64, cp=16,
+                      dtype=jnp.float64)
+        bits = jnp.asarray(rng.integers(0, 2, (2, 12 * m.bits_per_symbol)))
+        tr, ti = m.modulate(bits)
+        h = np.array([1.0, 0.4 - 0.2j, -0.15 + 0.1j, 0.05j])
+        tx = np.asarray(tr) + 1j * np.asarray(ti)
+        rxs = np.stack([np.convolve(tx[i], h)[: tx.shape[1]]
+                        for i in range(2)])
+        rb, _ = m.demodulate(jnp.asarray(rxs.real), jnp.asarray(rxs.imag),
+                             channel=(h.real, h.imag))
+        assert bool(jnp.all(rb == bits))
+        with pytest.raises(ValueError):
+            m.demodulate(tr, ti, channel=(np.ones(40), np.zeros(40)))
+
+    def test_qpsk_awgn_ber_tracks_theory(self, rng):
+        from simpledsp_tpu.models.comms import OFDMModem
+        m = OFDMModem(Constellation.qpsk(), n_fft=64, cp=16,
+                      dtype=jnp.float64)
+        nsym = 300
+        bits = jnp.asarray(rng.integers(0, 2, (nsym * m.bits_per_symbol,)))
+        tr, ti = m.modulate(bits)
+        ebn0 = 4.0
+        snr_db = ebn0 + 10.0 * np.log10(2)    # unit power, Es = 1
+        yr, yi = awgn(1, (tr, ti), snr_db, signal_power=1.0)
+        rx, _ = m.demodulate(yr, yi)
+        measured = float(ber(bits, rx))
+        theory = 0.5 * erfc(np.sqrt(10.0 ** (ebn0 / 10.0)))
+        assert 0.6 * theory < measured < 1.6 * theory
+
+    def test_bad_args(self):
+        from simpledsp_tpu.models.comms import OFDMModem
+        with pytest.raises(ValueError):
+            OFDMModem(Constellation.qpsk(), n_fft=64, cp=64)
+        m = OFDMModem(Constellation.qpsk(), n_fft=16, cp=4)
+        with pytest.raises(ValueError):
+            m.modulate(jnp.zeros(33, jnp.int32))
+        with pytest.raises(ValueError):
+            m.demodulate(jnp.zeros(10), jnp.zeros(10))
