@@ -48,6 +48,7 @@ from simpledsp_tpu.design.iir import (
     cheby2,
     ellip,
     ellipord,
+    gammatone,
     iircomb,
     iirdesign,
     iirfilter,

@@ -873,6 +873,72 @@ def iirdesign(wp, ws, gpass: float, gstop: float, *,
                      fs=fs, output=output)
 
 
+def gammatone(freq: float, ftype: str = "fir", *,
+              order: Optional[int] = None,
+              numtaps: Optional[int] = None,
+              fs: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Gammatone auditory filter (scipy.signal.gammatone semantics),
+    from the defining equations — the sampled gammatone impulse response
+    t^{n-1} e^{-2 pi b t} cos(2 pi f t) for 'fir', and Slaney's
+    8th-order digital realization of the 4th-order gammatone ("An
+    Efficient Implementation of the Patterson-Holdsworth Auditory Filter
+    Bank", 1993) for 'iir'; b = 1.019 ERB(f) with the standard
+    Glasberg-Moore ERB = f/9.26449 + 24.7."""
+    import cmath
+    from math import cos, exp, factorial, hypot, pi, sin, sqrt
+
+    freq = float(freq)
+    if not 0.0 < freq < fs / 2.0:
+        raise ValueError(f"freq must be in (0, fs/2), got {freq} @ fs={fs}")
+    erb = freq / 9.26449 + 24.7
+    if ftype == "fir":
+        order = 4 if order is None else int(order)
+        if not 0 < order <= 24:
+            raise ValueError("order must be in (0, 24]")
+        numtaps = max(int(fs * 0.015), 15) if numtaps is None \
+            else int(numtaps)
+        t = np.arange(numtaps, dtype=np.float64) / fs
+        bw = 1.019 * erb
+        b = t ** (order - 1) * np.exp(-2.0 * np.pi * bw * t) \
+            * np.cos(2.0 * np.pi * freq * t)
+        b *= 2.0 * (2.0 * np.pi * bw) ** order / factorial(order - 1) / fs
+        return b, np.asarray([1.0])
+    if ftype != "iir":
+        raise ValueError("ftype must be 'fir' or 'iir'")
+    T = 1.0 / fs
+    bw = 2.0 * pi * 1.019 * erb
+    fr = 2.0 * freq * pi * T
+    bwT = bw * T
+    # Center-frequency gain normalization (Slaney eq. set).
+    g1 = -2.0 * cmath.exp(2j * fr) * T
+    g2 = 2.0 * cmath.exp(-bwT + 1j * fr) * T
+    g3 = sqrt(3.0 + 2.0 ** 1.5) * sin(fr)
+    g4 = sqrt(3.0 - 2.0 ** 1.5) * sin(fr)
+    g5 = cmath.exp(2j * fr)
+    g = ((g1 + g2 * (cos(fr) - g4)) * (g1 + g2 * (cos(fr) + g4))
+         * (g1 + g2 * (cos(fr) - g3)) * (g1 + g2 * (cos(fr) + g3)))
+    g /= (-2.0 / exp(2.0 * bwT) - 2.0 * g5
+          + 2.0 * (1.0 + g5) / exp(bwT)) ** 4
+    gm = hypot(g.real, g.imag)
+    e = [exp(-k * bwT) for k in range(9)]
+    b = np.array([T ** 4 / gm,
+                  -4.0 * T ** 4 * cos(fr) * e[1] / gm,
+                  6.0 * T ** 4 * cos(2.0 * fr) * e[2] / gm,
+                  -4.0 * T ** 4 * cos(3.0 * fr) * e[3] / gm,
+                  T ** 4 * cos(4.0 * fr) * e[4] / gm])
+    a = np.array([1.0,
+                  -8.0 * cos(fr) * e[1],
+                  4.0 * (4.0 + 3.0 * cos(2.0 * fr)) * e[2],
+                  -8.0 * (6.0 * cos(fr) + cos(3.0 * fr)) * e[3],
+                  2.0 * (18.0 + 16.0 * cos(2.0 * fr)
+                         + cos(4.0 * fr)) * e[4],
+                  -8.0 * (6.0 * cos(fr) + cos(3.0 * fr)) * e[5],
+                  4.0 * (4.0 + 3.0 * cos(2.0 * fr)) * e[6],
+                  -8.0 * cos(fr) * e[7],
+                  e[8]])
+    return b, a
+
+
 def iirnotch(f0: float, q: float, fs: float = 2.0) -> BiquadCascadeDesign:
     """Second-order notch at ``f0`` with -3 dB width f0/q (scipy.signal.
     iirnotch parity), as a single-section cascade design."""

@@ -215,3 +215,33 @@ def test_invalid_args_raise():
         dz.iirfilter(4, 0.3, ftype="nonsense")
     with pytest.raises(ValueError):
         dz.iirfilter(4, 0.3, btype="nonsense")
+
+
+class TestGammatone:
+    def test_matches_scipy_fir_and_iir(self):
+        from simpledsp_tpu.design.iir import gammatone
+        for freq, fs in [(440.0, 16000.0), (1000.0, 44100.0), (0.3, 2.0)]:
+            b1, a1 = gammatone(freq, "fir", fs=fs)
+            b2, a2 = sig.gammatone(freq, "fir", fs=fs)
+            np.testing.assert_allclose(b1, b2, atol=1e-15)
+            np.testing.assert_allclose(a1, np.asarray(a2))
+            b1, a1 = gammatone(freq, "iir", fs=fs)
+            b2, a2 = sig.gammatone(freq, "iir", fs=fs)
+            np.testing.assert_allclose(b1, np.asarray(b2), atol=1e-18)
+            np.testing.assert_allclose(a1, np.asarray(a2), atol=1e-12)
+
+    def test_unit_gain_at_center(self):
+        from simpledsp_tpu.design.iir import gammatone
+        from simpledsp_tpu.ops.lfilter import freqz
+        b, a = gammatone(1000.0, "iir", fs=16000.0)
+        w, h = freqz(b, a, 4096, fs=16000.0)
+        assert abs(np.abs(h[np.argmin(np.abs(w - 1000.0))]) - 1.0) < 1e-3
+
+    def test_bad_args(self):
+        from simpledsp_tpu.design.iir import gammatone
+        with pytest.raises(ValueError):
+            gammatone(0.0, "fir", fs=2.0)
+        with pytest.raises(ValueError):
+            gammatone(0.3, "cheby", fs=2.0)
+        with pytest.raises(ValueError):
+            gammatone(0.3, "fir", order=30, fs=2.0)
