@@ -38,6 +38,7 @@ from simpledsp_tpu.design.biquad import BiquadCascadeDesign, FilterType
 
 __all__ = [
     "butter_ap",
+    "gammatone",
     "cheby1_ap",
     "cheby2_ap",
     "ellip_ap",
@@ -885,9 +886,11 @@ def gammatone(freq: float, ftype: str = "fir", *,
     Bank", 1993) for 'iir'; b = 1.019 ERB(f) with the standard
     Glasberg-Moore ERB = f/9.26449 + 24.7."""
     import cmath
+    import warnings
     from math import cos, exp, factorial, hypot, pi, sin, sqrt
 
     freq = float(freq)
+    ftype = str(ftype).lower()
     if not 0.0 < freq < fs / 2.0:
         raise ValueError(f"freq must be in (0, fs/2), got {freq} @ fs={fs}")
     erb = freq / 9.26449 + 24.7
@@ -905,6 +908,13 @@ def gammatone(freq: float, ftype: str = "fir", *,
         return b, np.asarray([1.0])
     if ftype != "iir":
         raise ValueError("ftype must be 'fir' or 'iir'")
+    if order is not None:
+        warnings.warn("order is not used for the IIR gammatone filter "
+                      "(the Slaney realization is fixed 4th-order "
+                      "gammatone)", stacklevel=2)
+    if numtaps is not None:
+        warnings.warn("numtaps is not used for the IIR gammatone filter",
+                      stacklevel=2)
     T = 1.0 / fs
     bw = 2.0 * pi * 1.019 * erb
     fr = 2.0 * freq * pi * T

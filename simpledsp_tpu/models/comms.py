@@ -271,8 +271,11 @@ class OFDMModem:
             cr, ci = channel
             cr = np.asarray(cr, dtype=np.float64).ravel()
             ci = np.asarray(ci, dtype=np.float64).ravel()
-            if cr.size > self.cp + 1:
-                raise ValueError("channel longer than the cyclic prefix")
+            if max(cr.size, ci.size) > self.cp + 1:
+                raise ValueError(
+                    f"channel ({max(cr.size, ci.size)} taps) longer than "
+                    f"the cyclic prefix + 1 ({self.cp + 1}) — the "
+                    "circular-convolution assumption breaks")
             hr[: cr.size] = cr
             hi[: ci.size] = ci
             hf = np.fft.fft(hr + 1j * hi)

@@ -149,3 +149,12 @@ class TestOFDM:
             m.modulate(jnp.zeros(33, jnp.int32))
         with pytest.raises(ValueError):
             m.demodulate(jnp.zeros(10), jnp.zeros(10))
+
+
+def test_ofdm_channel_validates_both_planes():
+    from simpledsp_tpu.models.comms import OFDMModem
+    m = OFDMModem(Constellation.qpsk(), n_fft=64, cp=16)
+    bits = jnp.zeros(2 * m.bits_per_symbol, jnp.int32)
+    tr, ti = m.modulate(bits)
+    with pytest.raises(ValueError, match="cyclic prefix"):
+        m.demodulate(tr, ti, channel=(np.ones(3), np.zeros(40)))

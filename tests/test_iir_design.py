@@ -245,3 +245,19 @@ class TestGammatone:
             gammatone(0.3, "cheby", fs=2.0)
         with pytest.raises(ValueError):
             gammatone(0.3, "fir", order=30, fs=2.0)
+
+
+def test_gammatone_ftype_case_and_warnings():
+    from simpledsp_tpu.design.iir import gammatone
+    b1, a1 = gammatone(440.0, "FIR", fs=16000.0)
+    b2, a2 = gammatone(440.0, "fir", fs=16000.0)
+    np.testing.assert_array_equal(b1, b2)
+    with pytest.warns(UserWarning, match="order is not used"):
+        gammatone(440.0, "iir", order=8, fs=16000.0)
+    with pytest.warns(UserWarning, match="numtaps is not used"):
+        gammatone(440.0, "Iir", numtaps=99, fs=16000.0)
+
+
+def test_gammatone_star_export():
+    import simpledsp_tpu.design.iir as m
+    assert "gammatone" in m.__all__
