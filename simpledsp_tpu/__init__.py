@@ -186,6 +186,14 @@ from simpledsp_tpu.ops.peaks import (
     peak_prominences,
     peak_widths,
 )
+from simpledsp_tpu.ops.splines import (
+    cspline1d,
+    cspline1d_eval,
+    gauss_spline,
+    qspline1d,
+    qspline1d_eval,
+    sepfir2d,
+)
 from simpledsp_tpu.ops.smooth import (
     detrend,
     medfilt,

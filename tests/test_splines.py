@@ -1,0 +1,65 @@
+"""B-spline family vs scipy.signal (ops/splines.py)."""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+import jax.numpy as jnp
+
+from simpledsp_tpu.ops import splines as sp
+
+
+def test_spline_coefficients_match_scipy(rng):
+    x = rng.standard_normal(50)
+    np.testing.assert_allclose(sp.cspline1d(x), ss.cspline1d(x), atol=1e-12)
+    np.testing.assert_allclose(sp.qspline1d(x), ss.qspline1d(x), atol=1e-12)
+    # single-sample branch (incl. scipy's skipped-gain quirk, replicated)
+    np.testing.assert_allclose(sp.cspline1d(x[:1]), ss.cspline1d(x[:1]))
+    np.testing.assert_allclose(sp.qspline1d(x[:1]), ss.qspline1d(x[:1]))
+    with pytest.raises(ValueError):
+        sp.cspline1d(x, lamb=1.0)
+    with pytest.raises(ValueError):
+        sp.qspline1d(x, lamb=1.0)
+
+
+def test_spline_eval_matches_scipy_and_interpolates(rng):
+    x = rng.standard_normal(50)
+    cj = ss.cspline1d(x)
+    qj = ss.qspline1d(x)
+    newx = rng.uniform(-20, 70, 300)      # includes mirror extrapolation
+    np.testing.assert_allclose(sp.cspline1d_eval(cj, newx),
+                               ss.cspline1d_eval(cj, newx), atol=1e-12)
+    np.testing.assert_allclose(sp.qspline1d_eval(qj, newx),
+                               ss.qspline1d_eval(qj, newx), atol=1e-12)
+    np.testing.assert_allclose(
+        sp.cspline1d_eval(cj, newx, dx=0.5, x0=2.0),
+        ss.cspline1d_eval(cj, newx, dx=0.5, x0=2.0), atol=1e-12)
+    # the defining property: evaluation at the knots returns the samples
+    np.testing.assert_allclose(sp.cspline1d_eval(cj, np.arange(50.0)), x,
+                               atol=1e-12)
+    with pytest.raises(ValueError):
+        sp.cspline1d_eval(np.empty(0), newx)
+
+
+def test_sepfir2d_matches_scipy(rng):
+    img = rng.standard_normal((20, 30))
+    hr = rng.standard_normal(5)
+    hc = rng.standard_normal(7)
+    got = np.asarray(sp.sepfir2d(jnp.asarray(img), hr, hc))
+    np.testing.assert_allclose(got, ss.sepfir2d(img, hr, hc), atol=1e-12)
+    # batched leading axis
+    imgs = rng.standard_normal((3, 12, 14))
+    got = np.asarray(sp.sepfir2d(jnp.asarray(imgs), hr, hc))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], ss.sepfir2d(imgs[i], hr, hc),
+                                   atol=1e-12)
+    with pytest.raises(ValueError):
+        sp.sepfir2d(jnp.zeros((4, 4)), np.ones(4), hc)   # even taps
+    with pytest.raises(ValueError):
+        sp.sepfir2d(jnp.zeros(4), hr, hc)                # 1-D input
+
+
+def test_gauss_spline_matches_scipy(rng):
+    x = rng.standard_normal(64)
+    got = np.asarray(sp.gauss_spline(jnp.asarray(x), 3))
+    np.testing.assert_allclose(got, ss.gauss_spline(x, 3), atol=1e-14)
