@@ -189,10 +189,13 @@ from simpledsp_tpu.ops.peaks import (
 from simpledsp_tpu.ops.splines import (
     cspline1d,
     cspline1d_eval,
+    cspline2d,
     gauss_spline,
     qspline1d,
     qspline1d_eval,
+    qspline2d,
     sepfir2d,
+    symiirorder1,
 )
 from simpledsp_tpu.ops.smooth import (
     detrend,

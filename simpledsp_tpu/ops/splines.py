@@ -9,9 +9,11 @@ repo uses), not a separate C routine.  Basis evaluation uses the
 closed-form cubic/quadratic B-spline pieces.  Validated against
 scipy.signal in tests/test_splines.py.
 
-The 2-D smoothing-spline variants (cspline2d/qspline2d/spline_filter)
-remain dispositioned in PARITY.md; :func:`sepfir2d` (separable
-mirror-boundary FIR, the piece the 2-D pipelines build on) is provided.
+The exact-interpolation regime is complete in 1-D and 2-D
+(cspline1d/2d, qspline1d/2d via the separable :func:`symiirorder1`
+passes) plus :func:`sepfir2d`; only the SMOOTHING-spline branch
+(lamb > 0: symiirorder2 + spline_filter) remains dispositioned in
+PARITY.md.
 """
 
 from __future__ import annotations
@@ -22,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["gauss_spline", "cspline1d", "qspline1d", "cspline1d_eval",
-           "qspline1d_eval", "sepfir2d"]
+           "qspline1d_eval", "sepfir2d", "symiirorder1", "cspline2d",
+           "qspline2d"]
 
 
 def gauss_spline(x, n: int):
@@ -171,3 +174,83 @@ def sepfir2d(x: jnp.ndarray, hrow, hcol) -> jnp.ndarray:
 
     return pass1d(pass1d(x, hrow, -1), hcol, -2)
 
+
+def symiirorder1(signal, c0: float, z1: float,
+                 precision: float = -1.0) -> np.ndarray:
+    """First-order mirror-symmetric IIR c0 / ((1 - z1 z^-1)(1 - z1 z))
+    (scipy.signal.symiirorder1 semantics), batched over leading axes:
+    forward and backward first-order passes through the framework's own
+    lfilter, with the initial condition x[0] + z1 sum_k z1^k x[k]
+    truncated at the first k with |z1|^k < precision (raises if the
+    truncated sum has not converged within the signal — scipy's rule,
+    pinned empirically)."""
+    import jax
+
+    from simpledsp_tpu.ops.lfilter import lfilter_scan
+
+    x = np.asarray(signal, dtype=np.float64)
+    if abs(z1) >= 1.0:
+        raise ValueError("|z1| must be less than 1.0")
+    if x.ndim == 0 or x.shape[-1] < 2:
+        raise ValueError("signal must have at least 2 samples")
+    n = x.shape[-1]
+    if precision <= 0.0 or precision >= 1.0:
+        # Default: machine-tight truncation capped at the signal length
+        # (scipy's default path computes an exact sum; this agrees with
+        # it to ~1e-12 and never raises).  An EXPLICIT precision keeps
+        # scipy's truncate-and-raise rule exactly.
+        k_conv = min(n, int(np.ceil(np.log(2.3e-16) / np.log(abs(z1))))
+                     if 0 < abs(z1) < 1 else n)
+    else:
+        k_conv = int(np.ceil(np.log(precision) / np.log(abs(z1)))) \
+            if abs(z1) > 0 else 1
+        if k_conv > n:
+            raise ValueError("Sum to find symmetric boundary conditions "
+                             "did not converge.")
+    powers = z1 ** np.arange(k_conv)
+    y0 = x[..., 0] + z1 * np.einsum("k,...k->...", powers,
+                                    x[..., :k_conv])
+    a = [1.0, -z1]
+    y1_tail, _ = lfilter_scan([1.0], a, jnp.asarray(x[..., 1:]),
+                              zi=jnp.asarray(z1 * y0)[..., None])
+    y1 = np.concatenate([y0[..., None], np.asarray(y1_tail)], axis=-1)
+    out_last = -c0 / (z1 - 1.0) * y1[..., -1]
+    rev, _ = lfilter_scan([c0], a, jnp.asarray(y1[..., -2::-1]),
+                          zi=jnp.asarray(z1 * out_last)[..., None])
+    del jax
+    return np.concatenate([np.asarray(rev)[..., ::-1],
+                           out_last[..., None]], axis=-1)
+
+
+def _spline2d(signal, c0: float, z1: float, precision: float) -> np.ndarray:
+    if precision <= 0.0 or precision >= 1.0:
+        # scipy's dtype rule, applied BEFORE the symiir passes.
+        dt = np.asarray(signal).dtype
+        precision = 1e-3 if dt in (np.float32, np.complex64) else 1e-6
+    out = symiirorder1(signal, c0, z1, precision)
+    out = np.moveaxis(symiirorder1(np.moveaxis(out, -2, -1), c0, z1,
+                                   precision), -1, -2)
+    return out
+
+
+def cspline2d(signal, lamb: float = 0.0,
+              precision: float = -1.0) -> np.ndarray:
+    """2-D cubic-spline coefficients (scipy.signal.cspline2d semantics
+    for the exact-interpolation regime lamb <= 1/144: the separable
+    symiirorder1 prefilter along both trailing axes; the smoothing-
+    spline branch remains dispositioned)."""
+    if lamb > 1.0 / 144.0:
+        raise ValueError("smoothing splines (lamb > 1/144) are "
+                         "dispositioned — see PARITY.md")
+    r = -2.0 + math.sqrt(3.0)
+    return _spline2d(signal, -r * 6.0, r, precision)
+
+
+def qspline2d(signal, lamb: float = 0.0,
+              precision: float = -1.0) -> np.ndarray:
+    """2-D quadratic-spline coefficients (scipy.signal.qspline2d
+    semantics; lamb must be 0, as in scipy)."""
+    if lamb > 0.0:
+        raise ValueError("lambda must be negative or zero")
+    r = -3.0 + 2.0 * math.sqrt(2.0)
+    return _spline2d(signal, -r * 8.0, r, precision)

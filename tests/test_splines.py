@@ -63,3 +63,26 @@ def test_gauss_spline_matches_scipy(rng):
     x = rng.standard_normal(64)
     got = np.asarray(sp.gauss_spline(jnp.asarray(x), 3))
     np.testing.assert_allclose(got, ss.gauss_spline(x, 3), atol=1e-14)
+
+
+def test_symiirorder1_and_2d_splines_match_scipy(rng):
+    r = -2.0 + np.sqrt(3.0)
+    x = rng.standard_normal(60)
+    np.testing.assert_allclose(
+        sp.symiirorder1(x, -r * 6, r, 1e-8),
+        ss.symiirorder1(x, -r * 6, r, precision=1e-8), atol=1e-12)
+    # default precision: scipy's default path is an exact sum; ours is a
+    # machine-tight truncation — agreement bound documented at ~1e-12
+    np.testing.assert_allclose(sp.symiirorder1(x, -r * 6, r),
+                               ss.symiirorder1(x, -r * 6, r), atol=1e-10)
+    X = rng.standard_normal((30, 40))
+    np.testing.assert_allclose(sp.cspline2d(X), ss.cspline2d(X),
+                               atol=1e-12)
+    np.testing.assert_allclose(sp.qspline2d(X), ss.qspline2d(X),
+                               atol=1e-12)
+    with pytest.raises(ValueError):
+        sp.symiirorder1(x, 1.0, 1.5)               # |z1| >= 1
+    with pytest.raises(ValueError, match="did not converge"):
+        sp.symiirorder1(x[:5], -r * 6, r, 1e-9)    # short + explicit prec
+    with pytest.raises(ValueError):
+        sp.cspline2d(X, lamb=1.0)                  # smoothing dispositioned
