@@ -184,8 +184,6 @@ def symiirorder1(signal, c0: float, z1: float,
     truncated at the first k with |z1|^k < precision (raises if the
     truncated sum has not converged within the signal — scipy's rule,
     pinned empirically)."""
-    import jax
-
     from simpledsp_tpu.ops.lfilter import lfilter_scan
 
     x = np.asarray(signal, dtype=np.float64)
@@ -217,7 +215,6 @@ def symiirorder1(signal, c0: float, z1: float,
     out_last = -c0 / (z1 - 1.0) * y1[..., -1]
     rev, _ = lfilter_scan([c0], a, jnp.asarray(y1[..., -2::-1]),
                           zi=jnp.asarray(z1 * out_last)[..., None])
-    del jax
     return np.concatenate([np.asarray(rev)[..., ::-1],
                            out_last[..., None]], axis=-1)
 
