@@ -154,6 +154,7 @@ from simpledsp_tpu.ops.spectral import (
     check_COLA,
     check_NOLA,
     coherence,
+    envelope,
     csd_ri,
     istft_ri,
     lombscargle,

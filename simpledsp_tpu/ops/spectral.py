@@ -20,7 +20,8 @@ from simpledsp_tpu.ops import fft as _fft
 
 __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
            "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram",
-           "lombscargle", "check_COLA", "check_NOLA", "vectorstrength"]
+           "lombscargle", "check_COLA", "check_NOLA", "vectorstrength",
+           "envelope"]
 
 
 def check_COLA(window, nperseg: int, noverlap: int,
@@ -425,3 +426,105 @@ def welch_psd(x: jnp.ndarray, nfft: int = 1024, *, fs: float = 1.0,
     psd = half * scale_mid / (fs * np.sum(w ** 2))
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     return freqs, psd
+
+
+def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
+             n_out: Optional[int] = None, squared: bool = False,
+             residual: Optional[str] = "lowpass", axis: int = -1):
+    """Envelope of a REAL signal with optional residual
+    (scipy.signal.envelope semantics for real input): the magnitude of
+    the analytic signal restricted to the in-band bins
+    ``bp_in = (lo, hi)`` of the length-n DFT, optionally resampled to
+    ``n_out``; ``residual`` returns what the band excluded ('lowpass':
+    only bins below the band; 'all': everything outside; None: envelope
+    alone).  Runs on the framework's FFT engine (complex intermediates
+    stay on device; inputs/outputs are real).  Complex input is carried
+    by the RI-plane convention elsewhere in the framework and is not
+    accepted here (scipy's complex branch differs in its spectrum
+    handling).
+    """
+    z = jnp.asarray(z)
+    if jnp.iscomplexobj(z):
+        raise ValueError("envelope here takes REAL signals (see docstring)")
+    if axis != -1:
+        z = jnp.moveaxis(z, axis, -1)
+    n = z.shape[-1]
+    if n < 1:
+        raise ValueError("empty signal")
+    if len(bp_in) != 2 or not all(b is None or isinstance(b, int)
+                                  for b in bp_in):
+        raise ValueError("bp_in must be a 2-tuple of int | None")
+    if residual not in ("lowpass", "all", None):
+        raise ValueError("residual must be 'lowpass', 'all', or None")
+    n_out = n if n_out is None else int(n_out)
+    if n_out < 1:
+        raise ValueError("n_out must be positive")
+    fak = n_out / n
+    lo = bp_in[0] if bp_in[0] is not None else -(n // 2)
+    hi = bp_in[1] if bp_in[1] is not None else (n + 1) // 2
+    if not (-(n // 2) <= lo < hi <= (n + 1) // 2):
+        raise ValueError(f"invalid bp_in={bp_in} for n={n}")
+
+    from simpledsp_tpu.ops.fft import fft, ifft, rfft
+
+    zr = rfft(z.astype(jnp.result_type(z.dtype, jnp.float32)))
+    full = jnp.zeros(z.shape[:-1] + (n,), dtype=zr.dtype)
+    full = full.at[..., : n // 2 + 1].set(zr)
+    if lo > 0:
+        full = full.at[..., lo:hi].multiply(2.0)
+    elif hi > 0:
+        full = full.at[..., 1:hi].multiply(2.0)
+    # ---- in-band baseband signal ----
+    if not (lo <= 0 < hi):
+        band = full[..., lo:hi] if lo >= 0 else \
+            jnp.concatenate([full[..., lo:], full[..., :hi]], axis=-1)
+        z_bb = _ifft_resampled(band, n_out) * fak
+    else:
+        shifted = jnp.roll(full, n // 2, axis=-1)
+        z_bb = _ifft_resampled(shifted[..., lo + n // 2: hi + n // 2],
+                               n_out) * fak
+    env = (jnp.real(z_bb) ** 2 + jnp.imag(z_bb) ** 2) if squared \
+        else jnp.abs(z_bb)
+    if residual is None:
+        return env if axis == -1 else jnp.moveaxis(env, -1, axis)
+    # ---- residual: zero the band (and, for 'lowpass', above it) ----
+    idx = np.arange(n)
+    sl = np.zeros(n, dtype=bool)
+    if lo >= 0:
+        sl[lo:hi] = True
+    else:
+        sl[lo % n: n] = True
+        sl[:hi] = True
+    if residual == "lowpass":
+        if hi > 0:
+            sl[hi:(n + 1) // 2] = True
+        else:
+            sl[lo % n:] = True
+            sl[: (n + 1) // 2] = True
+    keep = jnp.asarray(~sl[idx], dtype=full.real.dtype)
+    fullr = full * keep
+    # real inverse with the unpaired-Nyquist correction on resampling
+    if n_out != n and (m := min(n, n_out)) % 2 == 0:
+        fullr = fullr.at[..., m // 2].multiply(2.0 if n_out < n else 0.5)
+    spec_half = fullr[..., : n_out // 2 + 1] if n_out <= n else \
+        jnp.pad(fullr[..., : n // 2 + 1],
+                [(0, 0)] * (fullr.ndim - 1) + [(0, n_out // 2 + 1
+                                                - (n // 2 + 1))])
+    from simpledsp_tpu.ops.fft import irfft
+    z_res = fak * irfft(spec_half, n_out)
+    out = jnp.stack([env, jnp.real(z_res)], axis=0)
+    return out if axis == -1 else jnp.moveaxis(out, -1, axis)
+
+
+def _ifft_resampled(band: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """ifft(band, n=n_out): numpy's convention — crop or zero-pad the
+    SPECTRUM TAIL to n_out before the inverse transform."""
+    from simpledsp_tpu.ops.fft import ifft
+
+    m = band.shape[-1]
+    if n_out == m:
+        return ifft(band)
+    if n_out < m:
+        return ifft(band[..., :n_out])
+    pad = [(0, 0)] * (band.ndim - 1) + [(0, n_out - m)]
+    return ifft(jnp.pad(band, pad))

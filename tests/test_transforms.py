@@ -413,3 +413,27 @@ def test_vectorstrength_matches_scipy(rng):
     assert abs(s1 - 1.0) < 1e-12
     with pytest.raises(ValueError):
         vectorstrength(ev, -1.0)
+
+
+def test_envelope_matches_scipy(rng):
+    from simpledsp_tpu.ops.spectral import envelope
+    z = rng.standard_normal(64)
+    for bp in ((1, None), (4, 20), (-10, 12), (None, 16)):
+        for kw in (dict(), dict(residual="all"), dict(residual=None),
+                   dict(squared=True), dict(n_out=32), dict(n_out=128)):
+            got = np.asarray(envelope(jnp.asarray(z), bp, **kw))
+            ref = np.asarray(ss.envelope(z, bp, **kw))
+            np.testing.assert_allclose(got, ref, atol=1e-12,
+                                       err_msg=f"{bp} {kw}")
+    # batched leading axis
+    zb = rng.standard_normal((3, 64))
+    got = np.asarray(envelope(jnp.asarray(zb), (4, 20)))
+    for i in range(3):
+        np.testing.assert_allclose(got[:, i], ss.envelope(zb[i], (4, 20)),
+                                   atol=1e-12)
+    with pytest.raises(ValueError):
+        envelope(jnp.zeros(8, jnp.complex64))
+    with pytest.raises(ValueError):
+        envelope(jnp.zeros(8), (5, 3))
+    with pytest.raises(ValueError):
+        envelope(jnp.zeros(8), (1, None), residual="sideways")
