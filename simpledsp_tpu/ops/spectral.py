@@ -462,10 +462,10 @@ def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
     fak = n_out / n
     lo = bp_in[0] if bp_in[0] is not None else -(n // 2)
     hi = bp_in[1] if bp_in[1] is not None else (n + 1) // 2
-    if not (-(n // 2) <= lo < hi <= (n + 1) // 2):
+    if not (-n // 2 <= lo < hi <= (n + 1) // 2):
         raise ValueError(f"invalid bp_in={bp_in} for n={n}")
 
-    from simpledsp_tpu.ops.fft import fft, ifft, rfft
+    from simpledsp_tpu.ops.fft import rfft
 
     zr = rfft(z.astype(jnp.result_type(z.dtype, jnp.float32)))
     full = jnp.zeros(z.shape[:-1] + (n,), dtype=zr.dtype)
@@ -476,9 +476,10 @@ def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
         full = full.at[..., 1:hi].multiply(2.0)
     # ---- in-band baseband signal ----
     if not (lo <= 0 < hi):
-        band = full[..., lo:hi] if lo >= 0 else \
-            jnp.concatenate([full[..., lo:], full[..., :hi]], axis=-1)
-        z_bb = _ifft_resampled(band, n_out) * fak
+        # scipy slices Z[..., lo:hi] directly: plain python slicing
+        # covers both all-positive and all-negative bands (the latter
+        # selects the zero negative bins of a real signal's spectrum).
+        z_bb = _ifft_resampled(full[..., lo:hi], n_out) * fak
     else:
         shifted = jnp.roll(full, n // 2, axis=-1)
         z_bb = _ifft_resampled(shifted[..., lo + n // 2: hi + n // 2],
@@ -486,22 +487,23 @@ def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
     env = (jnp.real(z_bb) ** 2 + jnp.imag(z_bb) ** 2) if squared \
         else jnp.abs(z_bb)
     if residual is None:
-        return env if axis == -1 else jnp.moveaxis(env, -1, axis)
+        return env if axis in (-1, z.ndim - 1) \
+            else jnp.moveaxis(env, -1, axis)
     # ---- residual: zero the band (and, for 'lowpass', above it) ----
-    idx = np.arange(n)
+    # Exactly scipy's zeroing branches, as a boolean mask.
     sl = np.zeros(n, dtype=bool)
-    if lo >= 0:
-        sl[lo:hi] = True
+    if not (lo <= 0 < hi):
+        sl[lo:hi] = True          # python slice: positive OR negative band
     else:
-        sl[lo % n: n] = True
         sl[:hi] = True
+        sl[lo:] = True
     if residual == "lowpass":
         if hi > 0:
             sl[hi:(n + 1) // 2] = True
         else:
-            sl[lo % n:] = True
+            sl[lo:] = True
             sl[: (n + 1) // 2] = True
-    keep = jnp.asarray(~sl[idx], dtype=full.real.dtype)
+    keep = jnp.asarray(~sl, dtype=full.real.dtype)
     fullr = full * keep
     # real inverse with the unpaired-Nyquist correction on resampling
     if n_out != n and (m := min(n, n_out)) % 2 == 0:
@@ -512,8 +514,11 @@ def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
                                                 - (n // 2 + 1))])
     from simpledsp_tpu.ops.fft import irfft
     z_res = fak * irfft(spec_half, n_out)
-    out = jnp.stack([env, jnp.real(z_res)], axis=0)
-    return out if axis == -1 else jnp.moveaxis(out, -1, axis)
+    res = jnp.real(z_res)
+    if axis not in (-1, env.ndim - 1):
+        env = jnp.moveaxis(env, -1, axis)
+        res = jnp.moveaxis(res, -1, axis)
+    return jnp.stack([env, res], axis=0)
 
 
 def _ifft_resampled(band: jnp.ndarray, n_out: int) -> jnp.ndarray:

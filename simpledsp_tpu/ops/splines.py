@@ -36,13 +36,40 @@ def gauss_spline(x, n: int):
     return jnp.exp(-x * x / (2.0 * sigsq)) / math.sqrt(2.0 * np.pi * sigsq)
 
 
+def _iir1_np(x: np.ndarray, z1: float, y_prev: np.ndarray) -> np.ndarray:
+    """First-order recurrence y[k] = x[k] + z1 y[k-1] over the LAST axis
+    in pure NumPy float64 (these are host-side design/analysis filters:
+    no JAX backend, no x64 flag dependence, no device dispatch).  Chunked
+    lower-triangular Toeplitz matmuls — O(n L) with L = 64, ~vectorized.
+    ``y_prev``: (...,) carried value y[-1]."""
+    n = x.shape[-1]
+    L = 64
+    powers = z1 ** np.arange(1, L + 1)
+    tt = np.zeros((L, L))
+    for d in range(L):
+        tt[np.arange(d, L), np.arange(L - d)] = z1 ** d
+    out = np.empty_like(x)
+    carry = np.asarray(y_prev, dtype=np.float64)
+    for s0 in range(0, n, L):
+        chunk = x[..., s0: s0 + L]
+        m = chunk.shape[-1]
+        y = np.einsum("kj,...j->...k", tt[:m, :m], chunk) \
+            + carry[..., None] * powers[:m]
+        out[..., s0: s0 + L] = y
+        carry = y[..., -1]
+    return out
+
+
 def _spline_coeff(signal: np.ndarray, zi: float, gain: float) -> np.ndarray:
     """Forward+backward first-order inverse-basis filter with the exact
     mirror-symmetric initialization (scipy's _cubic_coeff/_quadratic_coeff
-    recurrences, run through the framework lfilter)."""
-    from simpledsp_tpu.ops.lfilter import lfilter_scan
-
-    x = np.asarray(signal, dtype=np.float64)
+    recurrences), in host NumPy float64."""
+    x0 = np.asarray(signal)
+    if np.iscomplexobj(x0):
+        raise ValueError("complex signals are carried as RI planes "
+                         "framework-wide; spline prefilters take real "
+                         "arrays")
+    x = x0.astype(np.float64)
     k = x.size
     powers = zi ** np.arange(k)
     if k == 1:
@@ -52,19 +79,13 @@ def _spline_coeff(signal: np.ndarray, zi: float, gain: float) -> np.ndarray:
         return np.atleast_1d(zi / (zi - 1.0) * yplus)
     # Forward: yplus[n] = x[n] + zi yplus[n-1], seeded by the mirror sum.
     y0 = np.sum(powers * x)
-    a = np.asarray([1.0, -zi])
-    # DF2T state for b=[1], a=[1,-zi] reproducing y[-1] = y0: z0 = zi*y0.
-    yplus, _ = lfilter_scan([1.0], a, jnp.asarray(x),
-                            zi=jnp.asarray([zi * y0]))
-    yplus = np.asarray(yplus)
+    yplus = _iir1_np(x, zi, np.asarray(y0))
     # Backward: out[k] = zi (out[k+1] - yplus[k]), anchored at the end.
     out_last = zi / (zi - 1.0) * yplus[-1]
-    # Same filter with b=[-zi] on the reversed sequence; state makes the
-    # first output equal zi*(out_last - yplus[-2]).
-    rev, _ = lfilter_scan([-zi], a, jnp.asarray(yplus[-2::-1]),
-                          zi=jnp.asarray([zi * out_last]))
-    out = np.concatenate([np.asarray(rev)[::-1], [out_last]])
-    return out * gain
+    rev = _iir1_np(-zi * yplus[-2::-1], zi, np.asarray(out_last))
+    out = np.concatenate([rev[::-1], [out_last]])
+    return (out * gain).astype(x0.dtype, copy=False) \
+        if np.issubdtype(x0.dtype, np.floating) else out * gain
 
 
 def cspline1d(signal, lamb: float = 0.0) -> np.ndarray:
@@ -184,39 +205,35 @@ def symiirorder1(signal, c0: float, z1: float,
     truncated at the first k with |z1|^k < precision (raises if the
     truncated sum has not converged within the signal — scipy's rule,
     pinned empirically)."""
-    from simpledsp_tpu.ops.lfilter import lfilter_scan
-
-    x = np.asarray(signal, dtype=np.float64)
+    xin = np.asarray(signal)
+    if np.iscomplexobj(xin):
+        raise ValueError("complex signals are carried as RI planes "
+                         "framework-wide; symiirorder1 takes real arrays")
+    x = xin.astype(np.float64)
     if abs(z1) >= 1.0:
         raise ValueError("|z1| must be less than 1.0")
     if x.ndim == 0 or x.shape[-1] < 2:
         raise ValueError("signal must have at least 2 samples")
     n = x.shape[-1]
     if precision <= 0.0 or precision >= 1.0:
-        # Default: machine-tight truncation capped at the signal length
-        # (scipy's default path computes an exact sum; this agrees with
-        # it to ~1e-12 and never raises).  An EXPLICIT precision keeps
-        # scipy's truncate-and-raise rule exactly.
-        k_conv = min(n, int(np.ceil(np.log(2.3e-16) / np.log(abs(z1))))
-                     if 0 < abs(z1) < 1 else n)
-    else:
-        k_conv = int(np.ceil(np.log(precision) / np.log(abs(z1)))) \
-            if abs(z1) > 0 else 1
-        if k_conv > n:
-            raise ValueError("Sum to find symmetric boundary conditions "
-                             "did not converge.")
+        # scipy's default: machine-epsilon truncation (agreement with
+        # scipy's own default at ~1e-12), same raise rule as explicit.
+        precision = float(np.finfo(np.float64).eps)
+    k_conv = int(np.ceil(np.log(precision) / np.log(abs(z1)))) \
+        if abs(z1) > 0 else 1
+    if k_conv > n:
+        raise ValueError("Sum to find symmetric boundary conditions "
+                         "did not converge.")
     powers = z1 ** np.arange(k_conv)
     y0 = x[..., 0] + z1 * np.einsum("k,...k->...", powers,
                                     x[..., :k_conv])
-    a = [1.0, -z1]
-    y1_tail, _ = lfilter_scan([1.0], a, jnp.asarray(x[..., 1:]),
-                              zi=jnp.asarray(z1 * y0)[..., None])
-    y1 = np.concatenate([y0[..., None], np.asarray(y1_tail)], axis=-1)
+    y1_tail = _iir1_np(x[..., 1:], z1, np.asarray(y0))
+    y1 = np.concatenate([y0[..., None], y1_tail], axis=-1)
     out_last = -c0 / (z1 - 1.0) * y1[..., -1]
-    rev, _ = lfilter_scan([c0], a, jnp.asarray(y1[..., -2::-1]),
-                          zi=jnp.asarray(z1 * out_last)[..., None])
-    return np.concatenate([np.asarray(rev)[..., ::-1],
-                           out_last[..., None]], axis=-1)
+    rev = _iir1_np(c0 * y1[..., -2::-1], z1, np.asarray(out_last))
+    out = np.concatenate([rev[..., ::-1], out_last[..., None]], axis=-1)
+    return out.astype(xin.dtype, copy=False) \
+        if np.issubdtype(xin.dtype, np.floating) else out
 
 
 def _spline2d(signal, c0: float, z1: float, precision: float) -> np.ndarray:

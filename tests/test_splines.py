@@ -71,10 +71,12 @@ def test_symiirorder1_and_2d_splines_match_scipy(rng):
     np.testing.assert_allclose(
         sp.symiirorder1(x, -r * 6, r, 1e-8),
         ss.symiirorder1(x, -r * 6, r, precision=1e-8), atol=1e-12)
-    # default precision: scipy's default path is an exact sum; ours is a
-    # machine-tight truncation — agreement bound documented at ~1e-12
+    # default precision: eps-truncation, ~1e-12 agreement with scipy's
+    # default, and the SAME did-not-converge raise on short signals
     np.testing.assert_allclose(sp.symiirorder1(x, -r * 6, r),
                                ss.symiirorder1(x, -r * 6, r), atol=1e-10)
+    with pytest.raises(ValueError, match="did not converge"):
+        sp.symiirorder1(x[:8], -r * 6, r)          # short + DEFAULT prec
     X = rng.standard_normal((30, 40))
     np.testing.assert_allclose(sp.cspline2d(X), ss.cspline2d(X),
                                atol=1e-12)
@@ -86,3 +88,14 @@ def test_symiirorder1_and_2d_splines_match_scipy(rng):
         sp.symiirorder1(x[:5], -r * 6, r, 1e-9)    # short + explicit prec
     with pytest.raises(ValueError):
         sp.cspline2d(X, lamb=1.0)                  # smoothing dispositioned
+
+
+def test_splines_reject_complex_and_preserve_f32(rng):
+    with pytest.raises(ValueError):
+        sp.cspline1d(np.ones(8, complex))
+    with pytest.raises(ValueError):
+        sp.symiirorder1(np.ones(8, complex), 1.0, 0.5)
+    X32 = rng.standard_normal((20, 24)).astype(np.float32)
+    out = sp.cspline2d(X32)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, ss.cspline2d(X32), atol=1e-5)

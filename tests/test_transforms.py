@@ -431,6 +431,20 @@ def test_envelope_matches_scipy(rng):
     for i in range(3):
         np.testing.assert_allclose(got[:, i], ss.envelope(zb[i], (4, 20)),
                                    atol=1e-12)
+    # negative-only band, positive axis, odd-n lower bound (review pins)
+    for kw in (dict(), dict(residual="all"), dict(residual=None)):
+        got = np.asarray(envelope(jnp.asarray(z), (-10, -5), **kw))
+        np.testing.assert_allclose(got, np.asarray(
+            ss.envelope(z, (-10, -5), **kw)), atol=1e-12)
+    z2 = rng.standard_normal((64, 5))
+    got = np.asarray(envelope(jnp.asarray(z2), (4, 20), axis=0))
+    ref = np.asarray(ss.envelope(z2, (4, 20), axis=0))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+    z63 = rng.standard_normal(63)
+    np.testing.assert_allclose(
+        np.asarray(envelope(jnp.asarray(z63), (-32, 5))),
+        np.asarray(ss.envelope(z63, (-32, 5))), atol=1e-12)
     with pytest.raises(ValueError):
         envelope(jnp.zeros(8, jnp.complex64))
     with pytest.raises(ValueError):
