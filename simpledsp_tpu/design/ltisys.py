@@ -109,17 +109,17 @@ def sos2zpk(sos) -> Tuple[np.ndarray, np.ndarray, float]:
     if sos.ndim != 2 or sos.shape[1] != 6:
         raise ValueError(f"sos must be (n, 6), got {sos.shape}")
     n = sos.shape[0]
-    z = np.empty(2 * n, dtype=np.complex128)
-    p = np.empty(2 * n, dtype=np.complex128)
+    z = np.zeros(2 * n, dtype=np.complex128)
+    p = np.zeros(2 * n, dtype=np.complex128)
     k = 1.0
+    # Per-section tf2zpk (scipy routes each row through tf2zpk/normalize):
+    # leading numerator zeros are trimmed so a pure-delay section
+    # [0, 1, 0 | a] contributes gain 1.0, not b0/a0 == 0.
     for i, row in enumerate(sos):
-        zi = np.roots(row[:3])
-        pi = np.roots(row[3:])
+        zi, pi, ki = tf2zpk(row[:3], row[3:])
         z[2 * i: 2 * i + len(zi)] = zi
-        z[2 * i + len(zi): 2 * i + 2] = 0.0
         p[2 * i: 2 * i + len(pi)] = pi
-        p[2 * i + len(pi): 2 * i + 2] = 0.0
-        k *= row[0] / row[3]       # section gain is b0/a0
+        k *= ki
     return z, p, k
 
 

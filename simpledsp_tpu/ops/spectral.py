@@ -505,9 +505,15 @@ def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
             sl[: (n + 1) // 2] = True
     keep = jnp.asarray(~sl, dtype=full.real.dtype)
     fullr = full * keep
-    # real inverse with the unpaired-Nyquist correction on resampling
+    # Real inverse with the unpaired-Nyquist correction on resampling.
+    # The bin that becomes (or stops being) Nyquist may be genuinely
+    # complex when cropping (n_out < n); scipy's irfft discards its
+    # imaginary part while the framework irfft would use it — take the
+    # real part explicitly before scaling so both agree.
     if n_out != n and (m := min(n, n_out)) % 2 == 0:
-        fullr = fullr.at[..., m // 2].multiply(2.0 if n_out < n else 0.5)
+        nyq = jnp.real(fullr[..., m // 2]).astype(fullr.dtype)
+        fullr = fullr.at[..., m // 2].set(
+            (2.0 if n_out < n else 0.5) * nyq)
     spec_half = fullr[..., : n_out // 2 + 1] if n_out <= n else \
         jnp.pad(fullr[..., : n // 2 + 1],
                 [(0, 0)] * (fullr.ndim - 1) + [(0, n_out // 2 + 1

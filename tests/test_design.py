@@ -542,3 +542,21 @@ def test_sos2zpk_unnormalized_sections():
     _, _, k1 = lt.sos2zpk(sos)
     _, _, k2 = sig.sos2zpk(sos)
     assert abs(k1 - k2) < 1e-12
+
+
+def test_sos2zpk_degenerate_numerator():
+    """Sections with b0 == 0 (advisor round-4 finding): scipy routes each
+    row through tf2zpk/normalize, so a pure-delay section contributes its
+    first NONZERO numerator coefficient as gain, not b0/a0 == 0."""
+    from simpledsp_tpu.design import ltisys as lt
+    for sos in (np.array([[0., 1., 0., 1., -.5, 0.]]),          # pure delay
+                np.array([[0., 2., .3, 1., -.2, .05],            # b0=0 pair
+                          [1., .3, .2, 1., -.2, .05]]),
+                np.array([[0., 0., 3., 1., -.4, .1]])):          # b0=b1=0
+        z1, p1, k1 = lt.sos2zpk(sos)
+        z2, p2, k2 = sig.sos2zpk(sos)
+        assert abs(k1 - k2) < 1e-12, f"{sos}: {k1} vs {k2}"
+        np.testing.assert_allclose(np.sort_complex(z1),
+                                   np.sort_complex(z2), atol=1e-12)
+        np.testing.assert_allclose(np.sort_complex(p1),
+                                   np.sort_complex(p2), atol=1e-12)

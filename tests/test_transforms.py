@@ -451,3 +451,20 @@ def test_envelope_matches_scipy(rng):
         envelope(jnp.zeros(8), (5, 3))
     with pytest.raises(ValueError):
         envelope(jnp.zeros(8), (1, None), residual="sideways")
+
+
+def test_envelope_residual_with_resampling(rng):
+    """residual= combined with n_out= (advisor round-4 finding): the bin
+    landing at the new Nyquist when cropping is genuinely complex; scipy's
+    irfft keeps only its real part — outputs must still match scipy."""
+    from simpledsp_tpu.ops.spectral import envelope
+    z = rng.standard_normal(64)
+    for bp in ((1, None), (4, 20), (None, 16), (-10, 12)):
+        for res in ("all", "lowpass"):
+            for n_out in (32, 48, 128):   # even crops + an expansion
+                got = np.asarray(envelope(jnp.asarray(z), bp,
+                                          residual=res, n_out=n_out))
+                ref = np.asarray(ss.envelope(z, bp, residual=res,
+                                             n_out=n_out))
+                np.testing.assert_allclose(
+                    got, ref, atol=1e-12, err_msg=f"{bp} {res} {n_out}")
