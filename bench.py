@@ -8,14 +8,35 @@ C++ f64 (BASELINE.md, measured in this environment).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+
+After printing it, every run re-executes the full compiled-path smoke
+suite (tools/tpu_smoke: fused chain vs f64 oracle, compiled shard_map
+parity, dp-sharded bank) in a subprocess, writing TPU_SMOKE.json — so a
+benchmark artifact always ships with fresh compiled-correctness evidence
+(the analog of the reference running its tests on every CI pass).  Set
+SDSP_SKIP_SMOKE=1 for quick manual timing runs; a smoke failure makes
+this process exit nonzero (the JSON line is already out).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_MSPS = 47.1  # BASELINE.md north-star chain, 1 Xeon core
+
+
+def run_smoke() -> int:
+    """tools.tpu_smoke in a fresh process (own compiles, own device
+    handle); its stdout goes to stderr so this script still prints
+    exactly one stdout line."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "tools.tpu_smoke", "TPU_SMOKE.json"],
+        stdout=sys.stderr, stderr=sys.stderr, timeout=900)
+    return proc.returncode
 
 
 def _parity_snr(chain, x_framed, x_ref_host) -> float:
@@ -120,7 +141,14 @@ def main():
             "baseline": f"{BASELINE_MSPS} Msamples/s (1 Xeon core, f64 C++)",
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    if not os.environ.get("SDSP_SKIP_SMOKE"):
+        rc = run_smoke()
+        if rc != 0:
+            raise SystemExit(f"tpu_smoke FAILED (rc={rc}); see stderr "
+                             f"and TPU_SMOKE.json")
+        print("tpu_smoke OK (TPU_SMOKE.json)", file=sys.stderr)
 
 
 if __name__ == "__main__":

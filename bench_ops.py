@@ -33,6 +33,35 @@ BASE = {
     "chain_iir8_fft4096": 47.1,
 }
 
+# Per-row regression floors: ~60% of the recorded round-4 medians
+# (PERF.md per-op table), NOT a blanket multiple of the C++ baseline —
+# a 2x slowdown on any row now fails the gate, while staying below each
+# row's observed tunnel-drift window (>1.5x run to run; chain measured
+# 8.7-12.4 Gs/s across rounds, FFT rows 8.2-11.6).
+FLOOR_MSPS = {
+    "fft_radix2_1024": 4890.0,    # r4 median 8152
+    "fft_radix4_1024": 4890.0,    # r4 median 8152
+    "fft_radix2_4096": 5240.0,    # r4 median 8734
+    "fft_radix4_4096": 5240.0,    # r4 median 8734
+    "iir_lp_8th_order": 13800.0,  # r4 median 23022
+    "iir_hp_8th_order": 15800.0,  # r4 median 26345
+    "iir_bp_8th_order": 13500.0,  # r4 median 22467
+    "chain_iir8_fft4096": 7400.0,  # r4 median 12367; window min 8700
+}
+
+
+def check_row_floors(rows, floors=None):
+    """Return the list of (metric, msps, floor) violations for measured
+    rows against the per-row floors.  Pure function so the gate logic is
+    unit-testable without a TPU (tests/test_perf_gate.py)."""
+    floors = FLOOR_MSPS if floors is None else floors
+    bad = []
+    for r in rows:
+        floor = floors.get(r["metric"])
+        if floor is not None and r["value"] < floor:
+            bad.append((r["metric"], r["value"], floor))
+    return bad
+
 
 def main():
     import jax
@@ -129,16 +158,24 @@ def main():
                       "rows": len(results),
                       "min_vs_baseline": worst,
                       "all_beat_reference": worst > 1.0}))
-    return worst
+    return worst, results
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--assert-floor", type=float, default=None,
                     help="exit 1 if any row's vs_baseline drops below this")
+    ap.add_argument("--assert-row-floors", action="store_true",
+                    help="exit 1 if any row drops below its per-row "
+                         "FLOOR_MSPS (~60%% of the round-4 median)")
     args = ap.parse_args()
-    worst = main()
+    worst, rows = main()
     if args.assert_floor is not None and worst < args.assert_floor:
         raise SystemExit(
             f"PERF REGRESSION: min vs_baseline {worst} < floor "
             f"{args.assert_floor}")
+    if args.assert_row_floors:
+        bad = check_row_floors(rows)
+        if bad:
+            raise SystemExit("PERF REGRESSION (per-row floors): " + "; ".join(
+                f"{m} {v:.0f} < {f:.0f} Ms/s" for m, v, f in bad))

@@ -1,16 +1,19 @@
-"""Opt-in performance-regression gate on the real TPU.
+"""Performance-regression gate.
 
 The reference executes its Catch2 BENCHMARK blocks on every CI run
 (reference: test/testIIR.cpp:465-559, workflow yml:57-61); here the analog
-is asserted: every bench_ops.py row must stay above 50x its measured C++
-single-core baseline, or the gate fails loudly.
+is asserted per row: every bench_ops.py row must stay above its per-row
+floor (~60% of the recorded round-4 median, bench_ops.FLOOR_MSPS) — a 2x
+slowdown on any row fails the gate.
 
-Opt-in because it needs the real chip and ~5 minutes of compiles:
+The TPU measurement is opt-in because it needs the real chip and ~5
+minutes of compiles:
 
     SDSP_PERF_GATE=1 python -m pytest tests/test_perf_gate.py -q
 
 (The main suite runs on the virtual CPU mesh where throughput numbers are
-meaningless, so this cannot be an always-on test.)
+meaningless.)  The gate LOGIC — per-row floors catch a 2x regression —
+is asserted always-on below, without a chip.
 """
 
 import os
@@ -21,17 +24,42 @@ import sys
 import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-FLOOR = 50.0
+
+
+def test_row_floor_logic_catches_2x_regression():
+    """Always-on, no TPU: halving any round-4 median must trip its
+    per-row floor, and the medians themselves must pass."""
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench_ops import BASE, FLOOR_MSPS, check_row_floors
+    finally:
+        sys.path.pop(0)
+    r4_medians = {
+        "fft_radix2_1024": 8152.0, "fft_radix4_1024": 8152.0,
+        "fft_radix2_4096": 8734.0, "fft_radix4_4096": 8734.0,
+        "iir_lp_8th_order": 23022.0, "iir_hp_8th_order": 26345.0,
+        "iir_bp_8th_order": 22467.0, "chain_iir8_fft4096": 12367.0,
+    }
+    assert set(FLOOR_MSPS) == set(BASE) == set(r4_medians)
+    ok_rows = [{"metric": m, "value": v} for m, v in r4_medians.items()]
+    assert check_row_floors(ok_rows) == []
+    for m, v in r4_medians.items():
+        halved = [{"metric": m, "value": v / 2.0}]
+        assert check_row_floors(halved), f"2x regression on {m} not caught"
+    # Floors sit meaningfully above the old blanket 50x-baseline gate
+    # for the rows the verdict flagged (chain would have needed to fall
+    # to 2355 Ms/s before the old gate fired).
+    assert FLOOR_MSPS["chain_iir8_fft4096"] > 50.0 * BASE["chain_iir8_fft4096"]
 
 
 @pytest.mark.skipif(not os.environ.get("SDSP_PERF_GATE"),
                     reason="TPU perf gate is opt-in: set SDSP_PERF_GATE=1")
-def test_all_ops_hold_50x_over_reference():
+def test_all_ops_hold_per_row_floors():
     # Fresh subprocess: this test process is pinned to the CPU mesh
     # (conftest), but a clean python in the repo root gets the TPU.
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     proc = subprocess.run(
-        [sys.executable, "bench_ops.py", "--assert-floor", str(FLOOR)],
+        [sys.executable, "bench_ops.py", "--assert-row-floors"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, (
         f"perf gate failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
