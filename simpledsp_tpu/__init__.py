@@ -196,7 +196,9 @@ from simpledsp_tpu.ops.splines import (
     qspline1d_eval,
     qspline2d,
     sepfir2d,
+    spline_filter,
     symiirorder1,
+    symiirorder2,
 )
 from simpledsp_tpu.ops.smooth import (
     detrend,
