@@ -242,6 +242,40 @@ def _fir_split(vr, vi, taps_ref, rt: int, k: int, f8: int):
     return ur, ui
 
 
+def _fir_split_v2(vr, vi, taps_ref, rt: int, k: int, f8: int):
+    """Shift-reuse variant of :func:`_fir_split` (probe-selected, see
+    PERF.md round 5): lag j = f8 q + p needs the p-phase-rolled plane
+    lane-shifted by q, so precompute the f8 rolled planes ONCE (f8 - 1
+    concats per plane instead of one per tap) and serve every tap from a
+    lane slice; two accumulators per plane break the K-long add
+    dependency chain."""
+    rows = vr.shape[-1]
+
+    def rolls(v):
+        # R_p[f] = v[(f + p) % f8] with the wrap rows advanced one lane;
+        # lane budget rows - 1 >= q_max + rt for any legal (k, hrows).
+        out = [v[:, :, : rows - 1]]
+        for p in range(1, f8):
+            out.append(jax.lax.concatenate(
+                [v[p:, :, : rows - 1], v[:p, :, 1: rows]], 0))
+        return out
+
+    rr = rolls(vr)
+    ri = rolls(vi)
+    acc = [None, None, None, None]   # re0, re1, im0, im1
+    for j in range(k):
+        t = taps_ref[:, j][None, :, None]
+        q, p = divmod(k - 1 - j, f8)
+        fr = t * rr[p][:, :, q: q + rt]
+        fi = t * ri[p][:, :, q: q + rt]
+        s = j & 1
+        acc[s] = fr if acc[s] is None else acc[s] + fr
+        acc[2 + s] = fi if acc[2 + s] is None else acc[2 + s] + fi
+    ur = acc[0] if acc[1] is None else acc[0] + acc[1]
+    ui = acc[2] if acc[3] is None else acc[2] + acc[3]
+    return ur, ui
+
+
 def _dft_split(ur, ui, wstb_ref, pm: int, prec):
     """Packed cross-branch DFT on phase-major operands: one BATCHED dot
     per plane against the f8-broadcast stacked table (Mosaic requires
@@ -260,7 +294,14 @@ def _dft_split(ur, ui, wstb_ref, pm: int, prec):
 def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
                     k: int, pm: int, pack: int, ntiles: int, total: int,
                     gain: float, prec, crows: int = 0,
-                    emit_sum: bool = False):
+                    emit_sum: bool = False, _debug_stage=None,
+                    fir_variant: "str | None" = None):
+    # Shift-reuse FIR (v2) needs hrows > (k-1)//f8 so every lane slice
+    # fits the rolled planes; auto-select it when legal (measured faster,
+    # tools/probe_bank_phases round 5).
+    if fir_variant is None:
+        fir_variant = "v2" if hrows > (k - 1) // f8 else "v1"
+    fir = _fir_split_v2 if fir_variant == "v2" else _fir_split
     """Flat-input kernel body: tiles are read STRAIGHT from the flat
     (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate
     contiguous DMA — and re-laid to channel-major in registers
@@ -312,12 +353,45 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
         slot = jax.lax.rem(s, i32(2))
         dma(xr_ref, scr_r, sem_r, s, slot).wait()
         dma(xi_ref, scr_i, sem_i, s, slot).wait()
+
+        # Phase-probe early exits (modes "fm"/"fm_dec";
+        # tools/probe_bank_phases): each stage writes the SAME output
+        # volume from the newest intermediate, so successive stage deltas
+        # isolate phase cost without dead-code elimination eating the
+        # measured work.  "fm" carries the full-rate disc write; "fm_dec"
+        # carries the production audio-rate write.
+        def _stage_exit(ar, ai):
+            if mode == "fm_dec":
+                # Audio-rate write volume; the lane reduction anchors
+                # every lane of the intermediate against DCE and is the
+                # same for all stages, so it cancels in stage deltas.
+                red = jnp.sum(ar + ai, axis=(0, 2))[:, None]   # (pm, 1)
+                o_ref[0] = jnp.broadcast_to(red, o_ref.shape[1:])
+            else:
+                o_ref[0] = ar[:, :, :rt] + ai[:, :, :rt]
+            ylr_ref[0] = ar[0, :, :1]
+            yli_ref[0] = ai[0, :, :1]
+
+        if _debug_stage == "dma":
+            v0 = scr_r[slot, 0, 0, 0] + scr_i[slot, 0, 0, 0]
+            _stage_exit(jax.lax.broadcast(v0, (f8, pm, rt)),
+                        jax.lax.broadcast(v0, (f8, pm, rt)))
+            return
         vr = jax.lax.concatenate(
             [_untranspose(scr_r[slot, q], m) for q in range(pack)], 1)
         vi = jax.lax.concatenate(
             [_untranspose(scr_i[slot, q], m) for q in range(pack)], 1)
-        ur, ui = _fir_split(vr, vi, taps_ref, rt, k, f8)
+        if _debug_stage == "untrans":
+            _stage_exit(vr, vi)
+            return
+        ur, ui = fir(vr, vi, taps_ref, rt, k, f8)
+        if _debug_stage == "fir":
+            _stage_exit(ur, ui)
+            return
         yr, yi = _dft_split(ur, ui, wstb_ref, pm, prec)
+        if _debug_stage == "dft":
+            _stage_exit(yr, yi)
+            return
 
         def decimate(sig):
             """Phase-major streaming decimator: batched dot over the
@@ -375,6 +449,9 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
         disc = _atan2(di, dr) * jnp.asarray(gain, yr.dtype)
         last_r = yr[f8 - 1:, :, rt - 1:]
         last_i = yi[f8 - 1:, :, rt - 1:]
+        if _debug_stage == "disc":
+            _stage_exit(disc, disc)
+            return
         if mode == "fm_dec":
             decimate(disc)
         else:
@@ -759,9 +836,12 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
               xpi: jnp.ndarray, extra, *, gain: float, row_tile: int,
               g: "int | None", precision, interpret: bool,
               pack: "int | None", dec_taps=None, decim: int = 1,
-              ahist=None, emit_sum: bool = False):
+              ahist=None, emit_sum: bool = False, _debug_stage=None,
+              fir_variant=None):
     """Flat-input driver: xpr/xpi are (B, W) history-prefixed padded flat
     planes, W % 128 == 0.  See _make_flat_body."""
+    if _debug_stage is not None and mode not in ("fm", "fm_dec"):
+        raise ValueError("_debug_stage probes the FM kernel bodies only")
     b, w = xpr.shape
     m, k = ops.m, ops.k
     if 128 % m:
@@ -860,7 +940,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
         acr_scr = [pltpu.VMEM((f8, pm, crows), dtype)]
     body = _make_flat_body(mode, m, f8, rt, hrows, k, pm, pack, ntiles,
                            total, float(gain), prec, crows=crows,
-                           emit_sum=emit_sum)
+                           emit_sum=emit_sum, _debug_stage=_debug_stage,
+                           fir_variant=fir_variant)
     # Mosaic scoped-vmem raise for deep prototypes: the branch-FIR stage
     # keeps ~k lane-shifted tile temporaries live, and K = 32 measured a
     # 40.2 MB stack vs the 16 MB default.  Gate on k > 16 so the
@@ -958,18 +1039,22 @@ def pfb_fm_flat(ops: PFBOperators, xpr: jnp.ndarray, xpi: jnp.ndarray,
                 gain: float = 1.0, row_tile: int = 128,
                 g: "int | None" = None, pack: "int | None" = None,
                 precision=None, dec_taps=None, decim: int = 1,
-                ahist=None, interpret: bool = False):
+                ahist=None, interpret: bool = False, _debug_stage=None,
+                fir_variant=None):
     """FLAT-input channelize + FM (+ optional fused decimation): xpr/xpi
     are the history-prefixed (B, W) planes, W = flat_pad_to(ops, g) —
     no channel-major transpose anywhere (the XLA (nfr, M) -> (M, nfr)
     relayout cost more than the whole fused kernel; the kernel re-lays
     contiguous 128-sample rows in registers instead).  Same returns as
-    :func:`pfb_fm_frames`."""
+    :func:`pfb_fm_frames`.  ``_debug_stage`` ("dma"/"untrans"/"fir"/
+    "dft") truncates the kernel after that phase for the phase probe
+    (tools/probe_bank_phases) — measurement hook, not a produce path."""
     mode = "fm" if dec_taps is None else "fm_dec"
     return _run_flat(mode, ops, xpr, xpi, (prev_r, prev_i), gain=gain,
                      row_tile=row_tile, g=g, precision=precision,
                      interpret=interpret, pack=pack, dec_taps=dec_taps,
-                     decim=decim, ahist=ahist)
+                     decim=decim, ahist=ahist, _debug_stage=_debug_stage,
+                     fir_variant=fir_variant)
 
 
 def pfb_am_flat(ops: PFBOperators, xpr: jnp.ndarray, xpi: jnp.ndarray, *,
