@@ -243,12 +243,16 @@ def _fir_split(vr, vi, taps_ref, rt: int, k: int, f8: int):
 
 
 def _fir_split_v2(vr, vi, taps_ref, rt: int, k: int, f8: int):
-    """Shift-reuse variant of :func:`_fir_split` (probe-selected, see
-    PERF.md round 5): lag j = f8 q + p needs the p-phase-rolled plane
-    lane-shifted by q, so precompute the f8 rolled planes ONCE (f8 - 1
-    concats per plane instead of one per tap) and serve every tap from a
-    lane slice; two accumulators per plane break the K-long add
-    dependency chain."""
+    """Shift-reuse variant of :func:`_fir_split` — MEASURED AND REJECTED
+    (kept importable for the probes, never auto-selected): precomputes
+    the f8 phase-rolled planes once (f8 - 1 concats per plane instead of
+    one per tap) and serves every tap from a lane slice, with dual
+    accumulators breaking the K-long add chain.  On-chip (production
+    config, tools/probe_bank_fir): fir stage 1.524 vs v1's 1.295 ms
+    median, full kernel 2.339 vs 2.325 — a wash, because the FIR phase
+    is VMEM-bandwidth-bound (every shifted (f8, PM, R) temporary
+    round-trips ~550 kB of VMEM regardless of how it was built), not
+    concat- or dependency-chain-bound."""
     rows = vr.shape[-1]
 
     def rolls(v):
@@ -296,11 +300,15 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
                     gain: float, prec, crows: int = 0,
                     emit_sum: bool = False, _debug_stage=None,
                     fir_variant: "str | None" = None):
-    # Shift-reuse FIR (v2) needs hrows > (k-1)//f8 so every lane slice
-    # fits the rolled planes; auto-select it when legal (measured faster,
-    # tools/probe_bank_phases round 5).
+    # v1 stays the default: the shift-reuse v2 measured a wash on chip
+    # (fir stage 1.295 vs 1.524 ms median, full kernel 2.325 vs 2.339 —
+    # tools/probe_bank_fir round 5), consistent with the FIR being
+    # VMEM-bandwidth-bound (each shifted (f8, PM, R) temp round-trips
+    # ~550 kB of VMEM; the concats v2 removes were already cheap).
     if fir_variant is None:
-        fir_variant = "v2" if hrows > (k - 1) // f8 else "v1"
+        fir_variant = "v1"
+    if fir_variant == "v2" and hrows <= (k - 1) // f8:
+        fir_variant = "v1"    # rolled-plane lane budget needs hrows > q_max
     fir = _fir_split_v2 if fir_variant == "v2" else _fir_split
     """Flat-input kernel body: tiles are read STRAIGHT from the flat
     (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate

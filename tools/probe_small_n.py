@@ -1,0 +1,93 @@
+"""Small-N fused-chain shootout on the real TPU: layout "reg" (stacked
+step-1 dot, M=2*n1) vs "regp" (128-contraction block-diagonal step 1 +
+in-register un-group) at fft_size 1024 (n1=8, where step-1 passes
+dominate) and 4096 (n1=32 control), chained-loop methodology, with an
+on-chip compiled parity gate vs the f64 scipy oracle per config.
+
+Run:  python -m tools.probe_small_n
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import scipy.signal as sig
+    from simpledsp_tpu.design.biquad import sos_matrix
+    from simpledsp_tpu.kernels.chain import (FusedNorthStarOperators,
+                                             fused_chain_frames)
+    from simpledsp_tpu.models.northstar import default_design
+    from simpledsp_tpu.utils.host import to_numpy
+
+    c, t = 64, 1 << 20
+    design = default_design()
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal((c, t)).astype(np.float32)
+
+    def timeit(fn, x, s0, iters=16):
+        out, s = fn(x, s0)
+        float(jnp.sum(jnp.ravel(s)[:1]))
+        s = s0
+        start = time.perf_counter()
+        for _ in range(iters):
+            out, s = fn(x, s)
+        float(jnp.sum(jnp.ravel(s)[:1]))
+        t_loop = time.perf_counter() - start
+        start = time.perf_counter()
+        float(jnp.sum(jnp.ravel(s)[:1]))
+        t_fetch = time.perf_counter() - start
+        del out
+        return max(t_loop - t_fetch, 1e-9) / iters
+
+    results = {}
+    fns, inputs = {}, {}
+    for n in (1024, 4096):
+        ops = FusedNorthStarOperators(design, fft_size=n, dtype=jnp.float32)
+        xf = jnp.asarray(x_host.reshape(c, t // n, ops.n1, ops.n2))
+        s0 = jnp.zeros((c, ops.state_dim), jnp.float32)
+        inputs[n] = (xf, s0)
+        for layout in ("reg", "regp"):
+            fns[(n, layout)] = jax.jit(functools.partial(
+                fused_chain_frames, ops, half_spectrum=True,
+                layout=layout, frames_per_tile=64))
+            # Compiled parity vs f64 oracle (2 channels).
+            (sr, si), _ = fns[(n, layout)](xf, s0)
+            nh = n // 2
+            got = (to_numpy(sr[:2]).astype(np.float64).reshape(2, -1, nh)
+                   + 1j * to_numpy(si[:2]).astype(np.float64)
+                   .reshape(2, -1, nh))
+            y64 = sig.sosfilt(sos_matrix(design),
+                              x_host[:2].astype(np.float64), axis=-1)
+            ref = np.fft.rfft(y64.reshape(2, -1, n))
+            packed = ref[..., :nh].copy()
+            packed[..., 0] += 1j * ref[..., nh].real
+            err = got - packed
+            snr = float(10 * np.log10((np.abs(packed) ** 2).sum()
+                                      / max((np.abs(err) ** 2).sum(),
+                                            1e-300)))
+            print(f"N={n} {layout}: parity {snr:.1f} dB", flush=True)
+            results[f"snr_{n}_{layout}"] = round(snr, 1)
+            if snr < 130.0:
+                raise SystemExit(f"parity FAILED for N={n} {layout}")
+    for rep in range(3):
+        for (n, layout), fn in fns.items():
+            dt = timeit(fn, *inputs[n])
+            results.setdefault(f"ms_{n}_{layout}", []).append(dt * 1e3)
+            print(f"N={n} {layout} rep{rep}: {dt*1e3:.3f} ms "
+                  f"({c * t / dt / 1e9:.2f} Gs/s)", flush=True)
+    med = {k: round(float(np.median(v)), 3)
+           for k, v in results.items() if isinstance(v, list)}
+    out = {k: v for k, v in results.items() if not isinstance(v, list)}
+    out["median_ms"] = med
+    out["Gsps"] = {k: round(c * t / (v / 1e3) / 1e9, 2)
+                   for k, v in med.items()}
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
