@@ -121,7 +121,10 @@ def main():
     dev_dt = time.perf_counter() - t0
     dev_msps = n_samples / dev_dt / 1e6
 
-    audio_expect = B * T // bank.decim * CHUNKS + B * T // bank.decim
+    # CHUNKS pushes total: the warm-up chunk's audio is dropped, the
+    # steady loop pushes CHUNKS - 1 predecessors, the drain pushes the
+    # last.  Per-chunk audio = B * T / decim samples.
+    audio_expect = (B * T // bank.decim) * CHUNKS
     result = {
         "metric": "stream_e2e_fm_bank",
         "value": round(msps, 1),

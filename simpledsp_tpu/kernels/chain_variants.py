@@ -44,6 +44,7 @@ __all__ = [
     "_make_packed_regg_kernel",
     "_make_packed_fmajor_kernel",
     "_make_packed_pair_kernel",
+    "_make_packed_regp_kernel",
 ]
 
 
@@ -288,6 +289,82 @@ def _make_packed_regg_kernel(precision, n2h: int, n1: int, g: int):
         # Re-interleave groups: (r/g, g, n2, n1) -> (r, n2, n1) is a free
         # leading-dim merge, restoring natural frame order f = g p + q.
         t5 = jax.lax.concatenate(parts, 1).reshape(r, n2, n1)
+        or_ref[:] = t5[:, :n2h]
+        oi_ref[:] = t5[:, n2h:]
+
+    return body
+
+
+def _make_packed_regp_kernel(precision, n2h: int, n1: int, g: int):
+    """Small-n1 variant of the packed reg kernel — MEASURED AND
+    REJECTED on v5e (tools/probe_small_n, one process, parity-gated
+    at >= 136.9 dB both layouts): N = 1024 (n1 = 8, g = 16) 15.86 vs
+    reg's 15.91 ms — an exact tie, DISPROVING the step-1-underfill
+    hypothesis for the 1024 shortfall — and N = 4096 (n1 = 32, g = 4)
+    8.76 vs 7.91 ms — the two un-group transposes cost more than the
+    6x saved step-1 passes.  Step 1 contracts g frames at once against
+    the block-diagonal stacked table
+
+        W1p = [blockdiag(W1c, ..., W1c); blockdiag(W1s, ..., W1s)]
+              ((2 g n1, g n1), cos rows first)
+
+    via the FREE leading-dim regroup (r, n1, n2) -> (r/g, g n1, n2), then
+    UN-groups the result back to (n1, r, n2) with one register transpose
+    per half so steps 2-3 run FULL-WIDTH, unlike reg2/reg4
+    (chain_variants._make_packed_regg_kernel) whose per-group downstream
+    shrinks the step-3 M dim to r/g and moves the underfill there.
+
+    Rationale (N = 1024, n1 = 8): the ungrouped stacked step-1 dot has
+    M = 16, K = 8 — 1% of each 128x128 MXU tile — and costs r passes per
+    tile while steps 3 cost ~16; at g = 128/n1 = 16 step 1 fills
+    K = 128, M = 256 and drops to 2 r/g passes.  The half split
+    cs[:gn1]/cs[gn1:] is an outer-axis slice (free); the un-group
+    transpose (g, n1, r/g, n2) -> (n1, r/g, g, n2) never touches the
+    lane dim.  Output contract identical to "reg" (natural-order re/im
+    planes, zero XLA relayout).
+    """
+    prec = (jax.lax.Precision.DEFAULT
+            if precision == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+    def body(x_ref, s_ref, h_ref, phi_ref, w1p_ref, p_ref, q_ref,
+             tc_ref, ts_ref, alt_ref, or_ref, oi_ref):
+        dtype = x_ref.dtype
+
+        def make_dot(contract_axis):
+            return functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((contract_axis,), (1,)), ((), ())),
+                preferred_element_type=dtype, precision=prec)
+
+        dot_lane = make_dot(2)
+        dot1f = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=((((1,), (1,))), ((), ())),
+            preferred_element_type=dtype, precision=prec)
+
+        y = _iir_block(x_ref, s_ref, h_ref, phi_ref, prec)
+        r, _, n2 = y.shape
+        yg = y.reshape(r // g, g * n1, n2)
+        cs = dot1f(w1p_ref[:], yg)           # (2 g n1, r/g, n2)
+        cs5 = cs.reshape(2, g, n1, r // g, n2)
+        # Un-group: row (qi, i) of group p is frame p*g + qi; transposing
+        # (g, n1, r/g, n2) -> (n1, r/g, g, n2) merges (r/g, g) back to
+        # the natural frame order without touching the lane dim.
+        c_r = jnp.transpose(cs5[0], (1, 2, 0, 3)).reshape(n1, r, n2)
+        s_r = jnp.transpose(cs5[1], (1, 2, 0, 3)).reshape(n1, r, n2)
+        T_c = tc_ref[:][:, None, :]
+        T_s = ts_ref[:][:, None, :]
+        tr = c_r * T_c - s_r * T_s
+        ti = s_r * T_c + c_r * T_s
+        out = dot_lane(tr, p_ref[:]) + dot_lane(ti, q_ref[:])
+
+        nyq = jnp.sum(tr[0] * alt_ref[:], axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, out.shape[1:], 1)
+        row0 = jnp.where(lane == n2h, nyq, out[0])
+        out = jax.lax.concatenate([row0[None], out[1:]], 0)
+
+        t5 = jnp.transpose(out, (1, 2, 0))
         or_ref[:] = t5[:, :n2h]
         oi_ref[:] = t5[:, n2h:]
 

@@ -950,12 +950,13 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
                            total, float(gain), prec, crows=crows,
                            emit_sum=emit_sum, _debug_stage=_debug_stage,
                            fir_variant=fir_variant)
-    # Mosaic scoped-vmem raise for deep prototypes: the branch-FIR stage
-    # keeps ~k lane-shifted tile temporaries live, and K = 32 measured a
-    # 40.2 MB stack vs the 16 MB default.  Gate on k > 16 so the
-    # flagship default config compiles byte-identically.
+    # Mosaic scoped-vmem raise for deep prototypes AND non-flagship bank
+    # shapes: K = 32 measured a 40.2 MB stack vs the 16 MB default, and
+    # M = 8 (f8 = 16 doubles every phase-major register slab) measured
+    # 20.1 MB at K = 16.  Gate so the flagship M = 16, K <= 16 config
+    # compiles byte-identically with the limit unset.
     cparams = (pltpu.CompilerParams(vmem_limit_bytes=96 << 20)
-               if k > 16 else None)
+               if (k > 16 or m != 16) else None)
     if mode.startswith("fm"):
         prev_r, prev_i = extra
         pr3 = prev_r.reshape(bp, pm, 1)

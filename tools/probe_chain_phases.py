@@ -35,13 +35,16 @@ def timeit_chained(fn, x, s0, iters=16):
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
     from simpledsp_tpu.kernels.chain import (FusedNorthStarOperators,
                                              fused_chain_frames)
     from simpledsp_tpu.models.northstar import default_design
 
-    c, t, n = 64, 1 << 20, 4096
+    c, t = 64, 1 << 20
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     ops = FusedNorthStarOperators(default_design(), fft_size=n,
                                   dtype=jnp.float32)
     rng = np.random.default_rng(0)

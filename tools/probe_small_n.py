@@ -1,8 +1,14 @@
-"""Small-N fused-chain shootout on the real TPU: layout "reg" (stacked
-step-1 dot, M=2*n1) vs "regp" (128-contraction block-diagonal step 1 +
-in-register un-group) at fft_size 1024 (n1=8, where step-1 passes
-dominate) and 4096 (n1=32 control), chained-loop methodology, with an
-on-chip compiled parity gate vs the f64 scipy oracle per config.
+"""Small-N fused-chain layout shootout on the real TPU, chained-loop
+methodology, with an on-chip compiled parity gate vs the f64 scipy
+oracle per config.
+
+Round-5 findings so far: "regp" (block-diagonal packed step 1) tied
+"reg" exactly at N=1024 — the step-1-underfill hypothesis is DEAD.  The
+real 1024 killer is the reg layout's OUTPUT: (F, n2/2, n1) planes have
+an n1 = 8-lane minor dim, stored at ~1/16 tile efficiency (measured
+15.9 ms vs the k1 layout's 8.0 incl. its XLA reorder).  This probe
+compares reg / k1 / regw (qf bins packed per 128-lane row — full-width
+stores) per fft_size.
 
 Run:  python -m tools.probe_small_n
 """
@@ -46,12 +52,13 @@ def main():
 
     results = {}
     fns, inputs = {}, {}
+    layouts = {1024: ("reg", "k1", "regw"), 4096: ("reg", "regw")}
     for n in (1024, 4096):
         ops = FusedNorthStarOperators(design, fft_size=n, dtype=jnp.float32)
         xf = jnp.asarray(x_host.reshape(c, t // n, ops.n1, ops.n2))
         s0 = jnp.zeros((c, ops.state_dim), jnp.float32)
         inputs[n] = (xf, s0)
-        for layout in ("reg", "regp"):
+        for layout in layouts[n]:
             fns[(n, layout)] = jax.jit(functools.partial(
                 fused_chain_frames, ops, half_spectrum=True,
                 layout=layout, frames_per_tile=64))
