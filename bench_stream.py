@@ -125,6 +125,13 @@ def main():
     # steady loop pushes CHUNKS - 1 predecessors, the drain pushes the
     # last.  Per-chunk audio = B * T / decim samples.
     audio_expect = (B * T // bank.decim) * CHUNKS
+    # Host-CPU-only rate (pop + convert + stage + sink — the work a
+    # production host does per chunk) and the implied tunnel transfer
+    # bandwidth (the "fetch" stage is the sync point where the per-chunk
+    # upload (2 planes) + audio download drain through the tunnel).
+    host_cpu_s = (stage_s["pop"] + stage_s["convert"] + stage_s["stage"]
+                  + stage_s["sink"])
+    xfer_bytes = CHUNKS * (2 * br.nbytes + B * T // bank.decim * 4)
     result = {
         "metric": "stream_e2e_fm_bank",
         "value": round(msps, 1),
@@ -135,9 +142,14 @@ def main():
             "wall_s": round(wall, 3),
             "stage_seconds": {k: round(v, 3) for k, v in stage_s.items()},
             "device_only_Msps": round(dev_msps, 1),
-            "host_limited_fraction": round(
-                max(0.0, 1.0 - dev_msps and (msps / dev_msps)), 3)
-            if dev_msps else None,
+            "host_cpu_only_Msps": round(n_samples / host_cpu_s / 1e6, 1)
+            if host_cpu_s > 0 else None,
+            "tunnel_MBps": round(xfer_bytes / 1e6
+                                 / max(stage_s["fetch"], 1e-9), 1),
+            "bottleneck": ("tunnel_transfers"
+                           if stage_s["fetch"] > 0.5 * wall else
+                           "host_cpu" if host_cpu_s > 0.5 * wall
+                           else "device"),
             "audio_bytes_written": written,
             "audio_samples_expected": audio_expect,
         },

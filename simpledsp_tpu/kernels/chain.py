@@ -473,7 +473,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        axis_name: Optional[str] = None,
                        shard_powers: Optional[np.ndarray] = None,
                        half_spectrum: bool = False,
-                       layout: str = "reg",
+                       layout: Optional[str] = None,
                        flat_out: bool = False,
                        projection: Optional[str] = None,
                        _debug_stage: Optional[str] = None,
@@ -530,6 +530,16 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     flatten (freely, outside jit) to natural bin order.
     """
     n1, n2, N = ops.n1, ops.n2, ops.fft_size
+    if layout is None:
+        # Auto layout (round-5 shootout, tools/probe_small_n): "reg"
+        # (in-register reorder, zero XLA relayout) wins at n1 >= 32
+        # where its (F, n2/2, n1) output minor dim stores near full
+        # tile width (4096: reg 7.9 vs k1 ~9.9 ms); below that the
+        # n1-lane minor craters store efficiency (1024: reg 15.9 ms at
+        # 1/16 tile fill) and "k1" + one XLA reorder transpose wins
+        # (7.5-7.7 ms = 8.7-9.0 Gs/s).  regw/reg2/reg4/regp measured
+        # and rejected (kernels/chain_variants.py).
+        layout = "reg" if n1 >= 32 else "k1"
     if half_spectrum and n2 % 2:
         raise ValueError(f"half_spectrum requires even n2, got {n2}")
     if x.ndim == 4:
@@ -911,6 +921,11 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
             z = jax.lax.transpose(out, (1, 2, 0))
             zr = z[:, :h]
             zi = z[:, h:]
+            if flat_out:
+                # (C F, n2/2, n1) planes, natural order on flatten —
+                # the c/nf split happens outside jit (free), matching
+                # the reg flat_out contract.
+                return ((zr, zi), s_fin)
         return ((zr.reshape(c, nf, h, n1), zi.reshape(c, nf, h, n1)), s_fin)
 
     kernel = _make_fused_kernel(precision, n1)
