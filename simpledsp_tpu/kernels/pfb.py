@@ -850,6 +850,8 @@ def _run_flat(mode: str, ops: PFBOperators, xpr: jnp.ndarray,
     planes, W % 128 == 0.  See _make_flat_body."""
     if _debug_stage is not None and mode not in ("fm", "fm_dec"):
         raise ValueError("_debug_stage probes the FM kernel bodies only")
+    if _debug_stage not in (None, "dma", "untrans", "fir", "dft", "disc"):
+        raise ValueError(f"unknown _debug_stage {_debug_stage!r}")
     b, w = xpr.shape
     m, k = ops.m, ops.k
     if 128 % m:

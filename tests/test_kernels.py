@@ -175,7 +175,7 @@ class TestFusedChain:
                                    atol=1e-12)
 
     @pytest.mark.parametrize("layout", ["reg", "regw", "reg2", "reg4",
-                                        "k1", "fmajor", "pair"])
+                                        "regp", "k1", "fmajor", "pair"])
     def test_half_spectrum_layouts_match_oracle(self, rng, layout):
         """Every half-spectrum kernel variant produces the identical packed
         one-sided spectrum (interpret mode; the layouts differ only in MXU
@@ -199,6 +199,32 @@ class TestFusedChain:
         # Packed halfcomplex: bin 0's imag slot carries Nyquist.re.
         packed = ref[..., :2048].copy()
         packed[..., 0] += 1j * ref[..., 2048].real
+        assert np.abs(got - packed).max() < 1e-11
+
+    def test_auto_layout_small_n_flat_out(self, rng):
+        """layout=None resolves per shape (round 5: k1 below n1=32, reg
+        at n1>=32 — the 8-lane-minor store fix); the k1 flat_out branch
+        must match the oracle with the same natural-bin flatten."""
+        import scipy.signal as sig
+        from simpledsp_tpu.design.biquad import sos_matrix
+        from simpledsp_tpu.kernels.chain import (
+            FusedNorthStarOperators, fused_chain_frames)
+        from simpledsp_tpu.models.northstar import default_design
+        design = default_design()
+        ops = FusedNorthStarOperators(design, 1024, dtype=jnp.float64)
+        assert ops.n1 == 8
+        x = rng.standard_normal((2, 16 * 1024))
+        s0 = jnp.zeros((2, ops.state_dim), jnp.float64)
+        (sr, si), _ = fused_chain_frames(
+            ops, jnp.asarray(x), s0, half_spectrum=True, flat_out=True,
+            interpret=True)           # layout=None -> "k1" at n1 = 8
+        assert sr.shape == (32, 64, 8)   # (C F, n2/2, n1) flat planes
+        got = (np.asarray(sr).reshape(2, -1, 512)
+               + 1j * np.asarray(si).reshape(2, -1, 512))
+        y64 = sig.sosfilt(sos_matrix(design), x, axis=-1)
+        ref = np.fft.rfft(y64.reshape(2, -1, 1024))
+        packed = ref[..., :512].copy()
+        packed[..., 0] += 1j * ref[..., 512].real
         assert np.abs(got - packed).max() < 1e-11
 
     def test_splitk_regs_layout_f32_snr(self, rng):

@@ -207,6 +207,48 @@ class TestFlatKernels:
         got = np.concatenate([np.asarray(a1), np.asarray(a2)], -1)
         np.testing.assert_allclose(got, np.asarray(audio), atol=1e-12)
 
+    def test_fir_variant_and_debug_stages(self, flat):
+        """The measured-and-rejected shift-reuse FIR (v2) stays
+        semantically identical to v1, and every _debug_stage prefix
+        traces and emits the contract shapes (the phase probe's hooks
+        must not rot)."""
+        from simpledsp_tpu.design.fir import lowpass_taps
+        from simpledsp_tpu.kernels.pfb import pfb_fm_flat
+        from simpledsp_tpu.ops.fir import fir_init
+        chan, g, xpr, xpi, ftr, fti = flat
+        B = xpr.shape[0]
+        pr = jnp.ones((B, chan.m, 1), jnp.float64)
+        pi = jnp.zeros((B, chan.m, 1), jnp.float64)
+        d1, _ = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi, gain=2.5,
+                            g=g, row_tile=8, interpret=True,
+                            fir_variant="v1")
+        d2, _ = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi, gain=2.5,
+                            g=g, row_tile=8, interpret=True,
+                            fir_variant="v2")
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   atol=1e-12)
+        for stage in ("dma", "untrans", "fir", "dft"):
+            out, _ = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi,
+                                 gain=2.5, g=g, row_tile=8,
+                                 interpret=True, _debug_stage=stage)
+            assert out.shape == d1.shape
+            assert np.isfinite(np.asarray(out)).all()
+        # fm_dec-mode stages (audio-rate writes) incl. "disc"
+        taps = lowpass_taps(24, 0.1, fs=1.0)
+        ah = fir_init(23, (B, chan.m), dtype=jnp.float64)
+        ref, _, _ = pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi,
+                                gain=2.5, g=g, row_tile=8, dec_taps=taps,
+                                decim=4, ahist=ah.hist, interpret=True)
+        for stage in ("dma", "fir", "disc"):
+            out, _, _ = pfb_fm_flat(
+                chan.kernel_ops, xpr, xpi, pr, pi, gain=2.5, g=g,
+                row_tile=8, dec_taps=taps, decim=4, ahist=ah.hist,
+                interpret=True, _debug_stage=stage)
+            assert out.shape == ref.shape
+        with pytest.raises(ValueError):
+            pfb_fm_flat(chan.kernel_ops, xpr, xpi, pr, pi, g=g,
+                        interpret=True, _debug_stage="nope")
+
     def test_am_flat_matches_frames(self, flat):
         from simpledsp_tpu.kernels.pfb import pfb_am_flat
         chan, g, xpr, xpi, ftr, fti = flat
