@@ -46,8 +46,13 @@ def main():
     bank = FMReceiverBank(16, fs=1.6e6, use_pallas=True)
     front, total = bank.padded_spec(T)
     state = bank.init_state(B)
-    br = np.zeros((B, total), np.float32)
-    bi = np.zeros((B, total), np.float32)
+    # TWO alternating host staging pairs: jnp.asarray's host->device
+    # transfer may still be reading pair i when the loop prepares the
+    # next chunk, so chunk i+1 stages into the OTHER pair; by the time a
+    # pair is reused (chunk i+2), chunk i's audio has been fetched —
+    # which orders after its upload was consumed.
+    bufs = [(np.zeros((B, total), np.float32),
+             np.zeros((B, total), np.float32)) for _ in range(2)]
 
     ring_in = RingBuffer(1 << 26)
     ring_out = RingBuffer(1 << 24)
@@ -57,7 +62,8 @@ def main():
     stage_s = {"pop": 0.0, "convert": 0.0, "stage": 0.0, "submit": 0.0,
                "fetch": 0.0, "sink": 0.0}
 
-    def one_chunk(state, pending, record=True):
+    def one_chunk(state, pending, idx, record=True):
+        br, bi = bufs[idx & 1]
         t0 = time.perf_counter()
         raw = ring_in.pop_exact(nbytes_chunk, dtype=np.int16)
         t1 = time.perf_counter()
@@ -87,13 +93,13 @@ def main():
         return state, audio
 
     # Warm-up chunk: compiles the padded-entry program, fills the pipe.
-    state, pending = one_chunk(state, None, record=False)
+    state, pending = one_chunk(state, None, 0, record=False)
     _ = np.asarray(pending)                 # force compile+execute now
     pending = None
 
     start = time.perf_counter()
-    for _ in range(CHUNKS):
-        state, pending = one_chunk(state, pending)
+    for i in range(CHUNKS):
+        state, pending = one_chunk(state, pending, i + 1)
     a_host = np.asarray(pending)            # drain the pipeline
     ring_out.push(f32_to_i16(a_host.ravel(), scale=8192.0).view(np.uint8))
     wall = time.perf_counter() - start
@@ -111,7 +117,7 @@ def main():
     # Device-only reference at this chunk shape (chained, value-fetch
     # sync, one loop — the bench_banks protocol on the same program).
     s2 = bank.init_state(B)
-    p2 = (jnp.asarray(br), jnp.asarray(bi))
+    p2 = (jnp.asarray(bufs[0][0]), jnp.asarray(bufs[0][1]))
     a2, s2, p2 = bank.process_padded(p2, s2)
     float(np.asarray(s2.demod.prev_r.ravel()[0]))
     t0 = time.perf_counter()
@@ -131,7 +137,8 @@ def main():
     # upload (2 planes) + audio download drain through the tunnel).
     host_cpu_s = (stage_s["pop"] + stage_s["convert"] + stage_s["stage"]
                   + stage_s["sink"])
-    xfer_bytes = CHUNKS * (2 * br.nbytes + B * T // bank.decim * 4)
+    xfer_bytes = CHUNKS * (2 * bufs[0][0].nbytes
+                           + B * T // bank.decim * 4)
     result = {
         "metric": "stream_e2e_fm_bank",
         "value": round(msps, 1),

@@ -38,7 +38,8 @@ from simpledsp_tpu.kernels.fft import _best_split, _consts
 from simpledsp_tpu.ops.fft import _dft_mats_f64
 from simpledsp_tpu.ops.iir import block_operators_f64
 
-__all__ = ["FusedNorthStarOperators", "fused_chain_frames"]
+__all__ = ["FusedNorthStarOperators", "fused_chain_frames",
+           "resolve_layout"]
 
 
 def _vma(x):
@@ -467,6 +468,20 @@ def _make_fused_kernel(precision, n1: int):
     return body
 
 
+def resolve_layout(n1: int) -> str:
+    """The auto-selected half-spectrum kernel layout for a step-1 factor
+    n1 (round-5 shootout, tools/probe_small_n + probe_1024_prod): "reg"
+    (in-register reorder, zero XLA relayout) wins at n1 >= 32 where its
+    (F, n2/2, n1) output minor dim stores near full tile width (4096:
+    reg 7.9 vs k1 ~9.9 ms); below that the n1-lane minor craters store
+    efficiency (1024: reg 15.9 ms at 1/16 tile fill) and "k1" + one XLA
+    reorder transpose wins (7.5-7.7 ms = 8.7-9.0 Gs/s).  Callers that
+    pin output layouts must derive them from THIS function so the pin
+    tracks the kernel (models/northstar.py).  regw/reg2/reg4/regp were
+    measured and rejected (kernels/chain_variants.py)."""
+    return "reg" if n1 >= 32 else "k1"
+
+
 def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
                        s0: jnp.ndarray, *, frames_per_tile: int = 64,
                        precision=None, interpret: bool = False,
@@ -531,15 +546,7 @@ def fused_chain_frames(ops: FusedNorthStarOperators, x: jnp.ndarray,
     """
     n1, n2, N = ops.n1, ops.n2, ops.fft_size
     if layout is None:
-        # Auto layout (round-5 shootout, tools/probe_small_n): "reg"
-        # (in-register reorder, zero XLA relayout) wins at n1 >= 32
-        # where its (F, n2/2, n1) output minor dim stores near full
-        # tile width (4096: reg 7.9 vs k1 ~9.9 ms); below that the
-        # n1-lane minor craters store efficiency (1024: reg 15.9 ms at
-        # 1/16 tile fill) and "k1" + one XLA reorder transpose wins
-        # (7.5-7.7 ms = 8.7-9.0 Gs/s).  regw/reg2/reg4/regp measured
-        # and rejected (kernels/chain_variants.py).
-        layout = "reg" if n1 >= 32 else "k1"
+        layout = resolve_layout(n1)
     if half_spectrum and n2 % 2:
         raise ValueError(f"half_spectrum requires even n2, got {n2}")
     if x.ndim == 4:

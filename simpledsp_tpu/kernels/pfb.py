@@ -300,6 +300,15 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
                     gain: float, prec, crows: int = 0,
                     emit_sum: bool = False, _debug_stage=None,
                     fir_variant: "str | None" = None):
+    """Flat-input kernel body: tiles are read STRAIGHT from the flat
+    (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate
+    contiguous DMA — and re-laid to channel-major in registers
+    (:func:`_untranspose`).  Kills the XLA (nfr, M) -> (M, nfr) transpose
+    that cost more than the whole fused kernel (measured 10.4 ms vs 1.6).
+
+    Grid step s: stream group bb = s // ntiles, row tile i = s % ntiles
+    covering rt rows = 8 rt frames (+ hrows halo rows).
+    """
     # v1 stays the default: the shift-reuse v2 measured a wash on chip
     # (fir stage 1.295 vs 1.524 ms median, full kernel 2.325 vs 2.339 —
     # tools/probe_bank_fir round 5), consistent with the FIR being
@@ -310,15 +319,6 @@ def _make_flat_body(mode: str, m: int, f8: int, rt: int, hrows: int,
     if fir_variant == "v2" and hrows <= (k - 1) // f8:
         fir_variant = "v1"    # rolled-plane lane budget needs hrows > q_max
     fir = _fir_split_v2 if fir_variant == "v2" else _fir_split
-    """Flat-input kernel body: tiles are read STRAIGHT from the flat
-    (prefixed) stream through the aligned (B, nfr/8, 128) view — full-rate
-    contiguous DMA — and re-laid to channel-major in registers
-    (:func:`_untranspose`).  Kills the XLA (nfr, M) -> (M, nfr) transpose
-    that cost more than the whole fused kernel (measured 10.4 ms vs 1.6).
-
-    Grid step s: stream group bb = s // ntiles, row tile i = s % ntiles
-    covering rt rows = 8 rt frames (+ hrows halo rows).
-    """
 
     def body(xr_ref, xi_ref, *rest):
         if mode == "fm":

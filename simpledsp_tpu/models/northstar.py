@@ -85,23 +85,24 @@ class NorthStarChain:
                 pass
         # Pin the spectra outputs DETERMINISTICALLY; which physical
         # layout depends on the kernel layout fused_chain_frames
-        # auto-selects (round-5 matrix, tools/probe_1024_prod):
-        # - n1 >= 32 ("reg" kernel): row-major (0,1,2).  XLA's
-        #   entry-layout heuristic otherwise compacts the planes,
-        #   inserting two 268 MB/call copies (profiler copy.48/49).
-        # - n1 < 32 ("k1" kernel): k1-major (0,2,1) — the reorder
-        #   transpose then lowers to a FREE layout change (measured at
-        #   1024: 8.0 ms vs 14.0 with a row-major pin, whose forced
-        #   relayout copies were the round-4 1024 shortfall).  Bin order
-        #   on flatten is unchanged (logical shape is identical);
-        #   on-device consumers are layout-agnostic, host fetches pay a
-        #   strided read.
+        # auto-selects (kernels/chain.py:resolve_layout — derived from
+        # it, not duplicated; round-5 matrix, tools/probe_1024_prod):
+        # - "reg" (n1 >= 32): row-major (0,1,2).  XLA's entry-layout
+        #   heuristic otherwise compacts the planes, inserting two
+        #   268 MB/call copies (profiler copy.48/49).
+        # - "k1": k1-major (0,2,1) — the reorder transpose then lowers
+        #   to a FREE layout change (measured at 1024: 8.0 ms vs 14.0
+        #   with a row-major pin, whose forced relayout copies were the
+        #   round-4 1024 shortfall).  Bin order on flatten is unchanged
+        #   (logical shape is identical); on-device consumers are
+        #   layout-agnostic, host fetches pay a strided read.
         from jax.experimental.layout import Format, Layout
         from jax.sharding import SingleDeviceSharding
         # local_devices: under jax.distributed a global-device pin would
         # make the output non-addressable on other processes.
-        n1 = self._fused_ops.n1 if self._fused_ops is not None else 32
-        rm = Format(Layout(major_to_minor=(0, 1, 2) if n1 >= 32
+        klay = (_kchain.resolve_layout(self._fused_ops.n1)
+                if self._fused_ops is not None else "reg")
+        rm = Format(Layout(major_to_minor=(0, 1, 2) if klay == "reg"
                            else (0, 2, 1)),
                     SingleDeviceSharding(jax.local_devices()[0]))
         self._jit = jax.jit(self._forward,

@@ -7,9 +7,10 @@ Run:  python -m tools.probe_1024_prod
 
 import functools
 import json
-import time
 
 import numpy as np
+
+from tools.timing import timeit_chained
 
 
 def main():
@@ -49,19 +50,7 @@ def main():
     fns["k1_flat1_pinK"] = jax.jit(fk, out_shardings=((km, km), None))
 
     def timeit(fn, iters=12):
-        out, s = fn(x, s0)
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        s = s0
-        start = time.perf_counter()
-        for _ in range(iters):
-            out, s = fn(x, s)
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        t_loop = time.perf_counter() - start
-        start = time.perf_counter()
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        t_fetch = time.perf_counter() - start
-        del out
-        return max(t_loop - t_fetch, 1e-9) / iters
+        return timeit_chained(lambda s: fn(x, s)[1], s0, iters=iters)
 
     res = {}
     for rep in range(3):

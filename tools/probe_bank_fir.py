@@ -7,9 +7,10 @@ Run:  python -m tools.probe_bank_fir
 """
 
 import json
-import time
 
 import numpy as np
+
+from tools.timing import timeit_chained
 
 
 def main():
@@ -31,19 +32,8 @@ def main():
     ah = jnp.zeros((b, m, bank._ataps.size - 1), jnp.float32)
 
     def timeit(fn, iters=8):
-        out, (a, c) = fn(xpr, xpi, pr, pi)
-        float(jnp.sum(a.ravel()[:1]))
-        a, c = pr, pi
-        start = time.perf_counter()
-        for _ in range(iters):
-            out, (a, c) = fn(xpr, xpi, a, c)
-        float(jnp.sum(a.ravel()[:1]))
-        t_loop = time.perf_counter() - start
-        start = time.perf_counter()
-        float(jnp.sum(a.ravel()[:1]))
-        t_fetch = time.perf_counter() - start
-        del out
-        return max(t_loop - t_fetch, 1e-9) / iters
+        return timeit_chained(
+            lambda c: fn(xpr, xpi, c[0], c[1])[1], (pr, pi), iters=iters)
 
     def make(variant, rt, stage=None):
         def fn(ar, ai, cr, ci):

@@ -15,26 +15,10 @@ Run:  python -m tools.probe_bank_phases [K]
 import functools
 import json
 import sys
-import time
 
 import numpy as np
 
-
-def timeit_chained(fn, xpr, xpi, pr, pi, iters=8):
-    import jax.numpy as jnp
-    out, (ylr, yli) = fn(xpr, xpi, pr, pi)
-    float(jnp.sum(ylr.ravel()[:1]))
-    a, b = pr, pi
-    start = time.perf_counter()
-    for _ in range(iters):
-        out, (a, b) = fn(xpr, xpi, a, b)
-    float(jnp.sum(a.ravel()[:1]))
-    t_loop = time.perf_counter() - start
-    start = time.perf_counter()
-    float(jnp.sum(a.ravel()[:1]))
-    t_fetch = time.perf_counter() - start
-    del out
-    return max(t_loop - t_fetch, 1e-9) / iters
+from tools.timing import timeit_chained
 
 
 def main():
@@ -91,7 +75,10 @@ def main():
     results = {}
     for rep in range(3):
         for name, _ in stages:
-            dt = timeit_chained(fns[name], xpr, xpi, pr, pi)
+            fn = fns[name]
+            dt = timeit_chained(
+                lambda carry, _f=fn: _f(xpr, xpi, carry[0], carry[1])[1],
+                (pr, pi))
             results.setdefault(name, []).append(dt * 1e3)
             print(f"{name} rep{rep}: {dt*1e3:.3f} ms", flush=True)
     med = {kk: round(float(np.median(v)), 3) for kk, v in results.items()}

@@ -15,9 +15,10 @@ Run:  python -m tools.probe_small_n
 
 import functools
 import json
-import time
 
 import numpy as np
+
+from tools.timing import timeit_chained
 
 
 def main():
@@ -36,19 +37,7 @@ def main():
     x_host = rng.standard_normal((c, t)).astype(np.float32)
 
     def timeit(fn, x, s0, iters=16):
-        out, s = fn(x, s0)
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        s = s0
-        start = time.perf_counter()
-        for _ in range(iters):
-            out, s = fn(x, s)
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        t_loop = time.perf_counter() - start
-        start = time.perf_counter()
-        float(jnp.sum(jnp.ravel(s)[:1]))
-        t_fetch = time.perf_counter() - start
-        del out
-        return max(t_loop - t_fetch, 1e-9) / iters
+        return timeit_chained(lambda s: fn(x, s)[1], s0, iters=iters)
 
     results = {}
     fns, inputs = {}, {}
