@@ -155,6 +155,7 @@ from simpledsp_tpu.ops.spectral import (
     check_NOLA,
     coherence,
     envelope,
+    envelope_ri,
     csd_ri,
     istft_ri,
     lombscargle,

@@ -21,7 +21,7 @@ from simpledsp_tpu.ops import fft as _fft
 __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
            "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram",
            "lombscargle", "check_COLA", "check_NOLA", "vectorstrength",
-           "envelope"]
+           "envelope", "envelope_ri"]
 
 
 def check_COLA(window, nperseg: int, noverlap: int,
@@ -431,21 +431,23 @@ def welch_psd(x: jnp.ndarray, nfft: int = 1024, *, fs: float = 1.0,
 def envelope(z: jnp.ndarray, bp_in: Tuple = (1, None), *,
              n_out: Optional[int] = None, squared: bool = False,
              residual: Optional[str] = "lowpass", axis: int = -1):
-    """Envelope of a REAL signal with optional residual
-    (scipy.signal.envelope semantics for real input): the magnitude of
-    the analytic signal restricted to the in-band bins
-    ``bp_in = (lo, hi)`` of the length-n DFT, optionally resampled to
-    ``n_out``; ``residual`` returns what the band excluded ('lowpass':
-    only bins below the band; 'all': everything outside; None: envelope
-    alone).  Runs on the framework's FFT engine (complex intermediates
-    stay on device; inputs/outputs are real).  Complex input is carried
-    by the RI-plane convention elsewhere in the framework and is not
-    accepted here (scipy's complex branch differs in its spectrum
-    handling).
+    """Envelope of a signal with optional residual
+    (scipy.signal.envelope semantics): the magnitude of the signal
+    restricted to the in-band bins ``bp_in = (lo, hi)`` of the length-n
+    DFT, optionally resampled to ``n_out``; ``residual`` returns what
+    the band excluded ('lowpass': only bins below the band; 'all':
+    everything outside; None: envelope alone).  Runs on the framework's
+    FFT engine.  REAL input follows scipy's analytic-signal branch
+    (in-band doubling, real residual via irfft); COMPLEX input follows
+    scipy's full-spectrum branch (no doubling; complex residual via the
+    frequency-domain-resample Nyquist corrections) — on TPU prefer
+    :func:`envelope_ri` (RI planes; complex host<->device DMA is
+    unsupported on some runtimes).
     """
     z = jnp.asarray(z)
     if jnp.iscomplexobj(z):
-        raise ValueError("envelope here takes REAL signals (see docstring)")
+        return _envelope_complex(z, bp_in, n_out=n_out, squared=squared,
+                                 residual=residual, axis=axis)
     if axis != -1:
         z = jnp.moveaxis(z, axis, -1)
     n = z.shape[-1]
@@ -539,3 +541,105 @@ def _ifft_resampled(band: jnp.ndarray, n_out: int) -> jnp.ndarray:
         return ifft(band[..., :n_out])
     pad = [(0, 0)] * (band.ndim - 1) + [(0, n_out - m)]
     return ifft(jnp.pad(band, pad))
+
+
+def _envelope_complex(z: jnp.ndarray, bp_in: Tuple, *,
+                      n_out: Optional[int], squared: bool,
+                      residual: Optional[str], axis: int):
+    """scipy.signal.envelope's complex-input branch: full spectrum (no
+    analytic doubling), residual via the frequency-domain-resample
+    Nyquist-bin corrections (scipy.signal.resample domain='freq')."""
+    from simpledsp_tpu.ops.fft import fft, ifft
+
+    if axis != -1:
+        z = jnp.moveaxis(z, axis, -1)
+    n = z.shape[-1]
+    if n < 1:
+        raise ValueError("empty signal")
+    if len(bp_in) != 2 or not all(b is None or isinstance(b, int)
+                                  for b in bp_in):
+        raise ValueError("bp_in must be a 2-tuple of int | None")
+    if residual not in ("lowpass", "all", None):
+        raise ValueError("residual must be 'lowpass', 'all', or None")
+    n_out = n if n_out is None else int(n_out)
+    if n_out < 1:
+        raise ValueError("n_out must be positive")
+    fak = n_out / n
+    lo = bp_in[0] if bp_in[0] is not None else -(n // 2)
+    hi = bp_in[1] if bp_in[1] is not None else (n + 1) // 2
+    if not (-n // 2 <= lo < hi <= (n + 1) // 2):
+        raise ValueError(f"invalid bp_in={bp_in} for n={n}")
+
+    Z = fft(z)
+    if not (lo <= 0 < hi):
+        z_bb = _ifft_resampled(Z[..., lo:hi], n_out) * fak
+    else:
+        shifted = jnp.roll(Z, n // 2, axis=-1)
+        z_bb = _ifft_resampled(shifted[..., lo + n // 2: hi + n // 2],
+                               n_out) * fak
+    env = (jnp.real(z_bb) ** 2 + jnp.imag(z_bb) ** 2) if squared \
+        else jnp.abs(z_bb)
+    if residual is None:
+        return env if axis in (-1, z.ndim - 1) \
+            else jnp.moveaxis(env, -1, axis)
+    # Zero the band (scipy's exact branches; unlike the real path, the
+    # 'lowpass' negative-lo case also zeroes the positive frequencies).
+    sl = np.zeros(n, dtype=bool)
+    if not (lo <= 0 < hi):
+        sl[lo:hi] = True
+    else:
+        sl[:hi] = True
+        sl[lo:] = True
+    if residual == "lowpass":
+        if hi > 0:
+            sl[hi:(n + 1) // 2] = True
+        else:
+            sl[lo:] = True
+            sl[: (n + 1) // 2] = True
+    Zr = Z * jnp.asarray(~sl, dtype=env.dtype)
+    # Frequency-domain resample to n_out (scipy.signal.resample
+    # domain='freq', complex branch): head + tail copy, then the
+    # even-min(n, n_out) Nyquist split/join.
+    if n_out == n:
+        z_res = ifft(Zr)
+    else:
+        m = min(n_out, n)
+        nyq = m // 2 + 1
+        y_spec = jnp.zeros(z.shape[:-1] + (n_out,), dtype=Zr.dtype)
+        y_spec = y_spec.at[..., :nyq].set(Zr[..., :nyq])
+        if m > 2:
+            y_spec = y_spec.at[..., nyq - m:].set(Zr[..., nyq - m:])
+        if m % 2 == 0:
+            if n_out < n:       # join the straddled -m/2 bin
+                y_spec = y_spec.at[..., -(m // 2)].add(
+                    Zr[..., n - m // 2])
+            else:               # split: halve +m/2 and mirror to -m/2
+                y_spec = y_spec.at[..., m // 2].multiply(0.5)
+                y_spec = y_spec.at[..., n_out - m // 2].set(
+                    y_spec[..., m // 2])
+        z_res = ifft(y_spec) * fak
+    if axis not in (-1, env.ndim - 1):
+        env = jnp.moveaxis(env, -1, axis)
+        z_res = jnp.moveaxis(z_res, -1, axis)
+    return jnp.stack([env.astype(z_res.dtype), z_res], axis=0)
+
+
+def envelope_ri(zr: jnp.ndarray, zi: jnp.ndarray,
+                bp_in: Tuple = (1, None), *, n_out: Optional[int] = None,
+                squared: bool = False,
+                residual: Optional[str] = "lowpass", axis: int = -1):
+    """Complex-signal envelope on RI planes — the framework's TPU
+    complex carrier (complex host<->device DMA is unsupported on some
+    runtimes); scipy.signal.envelope complex semantics via
+    :func:`envelope`'s complex branch.  Returns ``env`` (real) when
+    ``residual`` is None, else ``(env, (res_r, res_i))``."""
+    zr = jnp.asarray(zr)
+    zi = jnp.asarray(zi)
+    dt = jnp.result_type(zr.dtype, zi.dtype, jnp.float32)
+    z = jax.lax.complex(zr.astype(dt), zi.astype(dt))
+    out = _envelope_complex(z, bp_in, n_out=n_out, squared=squared,
+                            residual=residual, axis=axis)
+    if residual is None:
+        return out
+    env, res = out[0], out[1]
+    return jnp.real(env), (jnp.real(res), jnp.imag(res))

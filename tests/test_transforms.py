@@ -446,11 +446,55 @@ def test_envelope_matches_scipy(rng):
         np.asarray(envelope(jnp.asarray(z63), (-32, 5))),
         np.asarray(ss.envelope(z63, (-32, 5))), atol=1e-12)
     with pytest.raises(ValueError):
-        envelope(jnp.zeros(8, jnp.complex64))
-    with pytest.raises(ValueError):
         envelope(jnp.zeros(8), (5, 3))
     with pytest.raises(ValueError):
         envelope(jnp.zeros(8), (1, None), residual="sideways")
+
+
+def test_envelope_complex_matches_scipy(rng):
+    """Complex input (scipy's full-spectrum branch, round 5): no
+    analytic doubling; residual via the frequency-domain-resample
+    Nyquist split/join corrections."""
+    from simpledsp_tpu.ops.spectral import envelope, envelope_ri
+    z = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    for bp in ((1, None), (4, 20), (-10, 12), (None, 16), (-20, -5)):
+        for res in ("all", "lowpass", None):
+            for n_out in (None, 32, 48, 128, 63):
+                got = np.asarray(envelope(jnp.asarray(z), bp,
+                                          residual=res, n_out=n_out))
+                ref = np.asarray(ss.envelope(z, bp, residual=res,
+                                             n_out=n_out))
+                np.testing.assert_allclose(
+                    got, ref, atol=1e-12, err_msg=f"{bp} {res} {n_out}")
+    got = np.asarray(envelope(jnp.asarray(z), (2, 20), squared=True,
+                              residual=None))
+    np.testing.assert_allclose(
+        got, np.asarray(ss.envelope(z, (2, 20), squared=True,
+                                    residual=None)), atol=1e-12)
+    # batched leading axis and axis=0
+    zb = rng.standard_normal((3, 40)) + 1j * rng.standard_normal((3, 40))
+    got = np.asarray(envelope(jnp.asarray(zb), (1, None), n_out=20))
+    for i in range(3):
+        np.testing.assert_allclose(
+            got[:, i], np.asarray(ss.envelope(zb[i], (1, None), n_out=20)),
+            atol=1e-12)
+    z2 = rng.standard_normal((40, 5)) + 1j * rng.standard_normal((40, 5))
+    np.testing.assert_allclose(
+        np.asarray(envelope(jnp.asarray(z2), (1, None), axis=0)),
+        np.asarray(ss.envelope(z2, (1, None), axis=0)), atol=1e-12)
+    # RI-plane wrapper (the TPU carrier): env real, residual as planes
+    env, (rr, ri_) = envelope_ri(jnp.asarray(z.real), jnp.asarray(z.imag),
+                                 (4, 20), n_out=32)
+    ref = np.asarray(ss.envelope(z, (4, 20), n_out=32))
+    np.testing.assert_allclose(np.asarray(env), ref[0].real, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rr) + 1j * np.asarray(ri_),
+                               ref[1], atol=1e-12)
+    env2 = envelope_ri(jnp.asarray(z.real), jnp.asarray(z.imag),
+                       (4, 20), residual=None)
+    np.testing.assert_allclose(
+        np.asarray(env2), np.asarray(ss.envelope(z, (4, 20),
+                                                 residual=None)),
+        atol=1e-12)
 
 
 def test_envelope_residual_with_resampling(rng):
