@@ -37,7 +37,8 @@ from simpledsp_tpu.design.fir import (
     pfb_prototype_taps,
     resampler_taps,
 )
-from simpledsp_tpu.design.fir import firwin, firwin_2d, rrc_taps
+from simpledsp_tpu.design.fir import (firwin, firwin_2d,
+                                      kaiser_beta, rrc_taps)
 from simpledsp_tpu.design.iir import (
     bessel,
     butter,
@@ -66,17 +67,24 @@ from simpledsp_tpu.design.ltisys import (
     dlsim,
     dstep,
     freqresp,
+    freqz_sos,
     impulse,
+    lp2bp,
+    lp2bs,
+    lp2hp,
+    lp2lp,
     lsim,
     normalize,
     sos2tf,
     sos2zpk,
     sosfreqz,
     ss2tf,
+    ss2zpk,
     step,
     tf2sos,
     tf2ss,
     tf2zpk,
+    zpk2ss,
     zpk2tf,
 )
 from simpledsp_tpu.design.optimal_fir import firls, minimum_phase, remez

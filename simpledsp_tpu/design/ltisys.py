@@ -22,7 +22,8 @@ from simpledsp_tpu.design.iir import zpk2sos
 
 __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
            "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
-           "bilinear", "tf2ss", "ss2tf",
+           "freqz_sos", "bilinear", "tf2ss", "ss2tf", "ss2zpk", "zpk2ss",
+           "lp2lp", "lp2hp", "lp2bp", "lp2bs",
            "lsim", "impulse", "step", "dlsim", "dimpulse", "dstep",
            "bode", "freqresp", "dbode", "dfreqresp"]
 
@@ -141,6 +142,12 @@ def sosfreqz(sos, n: int = 512, *, fs: float = 2.0 * np.pi
     return w * (fs / (2.0 * np.pi)), h
 
 
+def freqz_sos(sos, n: int = 512, *, fs: float = 2.0 * np.pi
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """scipy 1.15+ name for :func:`sosfreqz`."""
+    return sosfreqz(sos, n, fs=fs)
+
+
 def bilinear(b, a, fs: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     """Bilinear (Tustin) transform of an analog transfer function
     (scipy.signal.bilinear semantics), routed through the framework's
@@ -152,6 +159,112 @@ def bilinear(b, a, fs: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     if bd.size < ad.size:
         bd = np.concatenate([np.zeros(ad.size - bd.size), bd])
     return bd, ad
+
+
+def lp2lp(b, a, wo: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Shift an analog low-pass prototype's cutoff to ``wo``
+    (scipy.signal.lp2lp semantics: direct power-of-wo column scaling of
+    the polynomial coefficients; the zpk-level transform lives in
+    design/iir.py:lp2lp_zpk)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    wo = float(wo)
+    d, n = len(a), len(b)
+    m = max(d, n)
+    pwo = wo ** np.arange(m - 1, -1, -1)
+    start1 = max(n - d, 0)
+    start2 = max(d - n, 0)
+    return normalize(b * pwo[start1] / pwo[start2:],
+                     a * pwo[start1] / pwo[start1:])
+
+
+def lp2hp(b, a, wo: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Low-pass prototype -> high-pass at ``wo``
+    (scipy.signal.lp2hp semantics: s -> wo / s, i.e. reversed
+    coefficients scaled by powers of wo)."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    wo = float(wo)
+    d, n = len(a), len(b)
+    m = max(d, n)
+    pwo = wo ** np.arange(m)
+    if d >= n:
+        outa = a[::-1] * pwo
+        outb = np.zeros(d)
+        outb[:n] = b[::-1] * pwo[:n]
+    else:
+        outb = b[::-1] * pwo
+        outa = np.zeros(n)
+        outa[:d] = a[::-1] * pwo[:d]
+    return normalize(outb, outa)
+
+
+def _lp2band(b, a, wo: float, bw: float, stop: bool):
+    """Shared s -> (s^2 + wo^2)/(bw s) [band-pass] or its reciprocal
+    [band-stop] polynomial expansion (scipy's lp2bp/lp2bs double-sum
+    construction)."""
+    from math import comb
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    dd, nn = len(a) - 1, len(b) - 1
+    ma = max(nn, dd)
+    np_, dp_ = nn + ma, dd + ma
+    wosq = float(wo) ** 2
+    bw = float(bw)
+
+    def expand(coefs, deg, out_deg):
+        out = np.zeros(out_deg + 1)
+        for j in range(out_deg + 1):
+            val = 0.0
+            for i in range(deg + 1):
+                if stop:
+                    # s -> bw s / (s^2 + wo^2): common denominator
+                    # (s^2 + wo^2)^ma, numerator term (bw s)^i
+                    # (s^2 + wo^2)^(ma - i) expanded binomially.
+                    for k in range(ma - i + 1):
+                        if i + 2 * k == j:
+                            val += (comb(ma - i, k) * coefs[deg - i]
+                                    * wosq ** (ma - i - k) * bw ** i)
+                else:
+                    for k in range(i + 1):
+                        if ma - i + 2 * k == j:
+                            val += (comb(i, k) * coefs[deg - i]
+                                    * wosq ** (i - k) / bw ** i)
+            out[out_deg - j] = val
+        return out
+
+    if stop:
+        out_deg = 2 * ma
+        return normalize(expand(b, nn, out_deg), expand(a, dd, out_deg))
+    return normalize(expand(b, nn, np_), expand(a, dd, dp_))
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Low-pass prototype -> band-pass centered at ``wo`` with width
+    ``bw`` (scipy.signal.lp2bp semantics; zpk-level transform in
+    design/iir.py:lp2bp_zpk)."""
+    return _lp2band(b, a, wo, bw, stop=False)
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Low-pass prototype -> band-stop (scipy.signal.lp2bs semantics)."""
+    return _lp2band(b, a, wo, bw, stop=True)
+
+
+def ss2zpk(A, B, C, D, input: int = 0
+           ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(A, B, C, D) -> zeros, poles, gain (scipy.signal.ss2zpk
+    semantics: tf2zpk of ss2tf)."""
+    return tf2zpk(*ss2tf(A, B, C, D, input=input))
+
+
+def zpk2ss(z, p, k: float
+           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """zeros, poles, gain -> controllable-canonical (A, B, C, D)
+    (scipy.signal.zpk2ss semantics: tf2ss of zpk2tf)."""
+    return tf2ss(*zpk2tf(z, p, k))
 
 
 def tf2ss(b, a) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

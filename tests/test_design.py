@@ -544,6 +544,60 @@ def test_sos2zpk_unnormalized_sections():
     assert abs(k1 - k2) < 1e-12
 
 
+def test_lp2_frequency_transforms_match_scipy():
+    """Polynomial-level analog frequency transforms (round 5: the
+    scipy.signal lp2lp/lp2hp/lp2bp/lp2bs names; zpk-level forms live in
+    design/iir.py)."""
+    from simpledsp_tpu.design import ltisys as lt
+    cases = [
+        (np.array([1.0]), np.array([1.0, 1.4142, 1.0])),
+        (np.array([2.0, 1.0]), np.array([1.0, 2.0, 3.0, 1.0])),
+        (np.array([1.0, 0.5, 0.2, 0.1]), np.array([1.0, 2.0])),  # n > d
+    ]
+    for b, a in cases:
+        for wo in (1.0, 0.4, 3.7):
+            for mine, ref in ((lt.lp2lp, sig.lp2lp),
+                              (lt.lp2hp, sig.lp2hp)):
+                mb, ma_ = mine(b, a, wo)
+                rb, ra = ref(b, a, wo)
+                np.testing.assert_allclose(mb, rb, rtol=1e-12, atol=1e-12)
+                np.testing.assert_allclose(ma_, ra, rtol=1e-12, atol=1e-12)
+            for mine, ref in ((lt.lp2bp, sig.lp2bp),
+                              (lt.lp2bs, sig.lp2bs)):
+                for bw in (1.0, 0.3, 2.2):
+                    mb, ma_ = mine(b, a, wo, bw)
+                    rb, ra = ref(b, a, wo, bw)
+                    np.testing.assert_allclose(mb, rb, rtol=1e-10,
+                                               atol=1e-12)
+                    np.testing.assert_allclose(ma_, ra, rtol=1e-10,
+                                               atol=1e-12)
+
+
+def test_ss_zpk_roundtrip_matches_scipy():
+    from simpledsp_tpu.design import ltisys as lt
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((4, 4))
+    B = rng.standard_normal((4, 1))
+    C = rng.standard_normal((1, 4))
+    D = rng.standard_normal((1, 1))
+    z1, p1, k1 = lt.ss2zpk(A, B, C, D)
+    z2, p2, k2 = sig.ss2zpk(A, B, C, D)
+    np.testing.assert_allclose(np.sort_complex(z1), np.sort_complex(z2),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.sort_complex(p1), np.sort_complex(p2),
+                               atol=1e-8)
+    assert abs(k1 - k2) < 1e-8 * max(1.0, abs(k2))
+    zz = np.array([-1.0 + 1j, -1.0 - 1j])
+    pp = np.array([-2.0, -3.0, -0.5])
+    for m1, m2 in zip(lt.zpk2ss(zz, pp, 2.3), sig.zpk2ss(zz, pp, 2.3)):
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+    # freqz_sos is the scipy 1.15+ name for sosfreqz
+    sos = sig.butter(4, 0.3, output="sos")
+    _, h1 = lt.freqz_sos(sos, 128)
+    _, h2 = sig.freqz_sos(sos, 128)
+    np.testing.assert_allclose(h1, h2, atol=1e-12)
+
+
 def test_sos2zpk_degenerate_numerator():
     """Sections with b0 == 0 (advisor round-4 finding): scipy routes each
     row through tf2zpk/normalize, so a pure-delay section contributes its
