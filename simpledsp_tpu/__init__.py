@@ -161,6 +161,7 @@ from simpledsp_tpu.ops.lfilter import (
 from simpledsp_tpu.ops.spectral import (
     check_COLA,
     check_NOLA,
+    closest_STFT_dual_window,
     coherence,
     envelope,
     envelope_ri,
@@ -169,6 +170,7 @@ from simpledsp_tpu.ops.spectral import (
     lombscargle,
     periodogram,
     spectrogram_ri,
+    stft_dual_window,
     stft_ri,
     vectorstrength,
     welch_psd,

@@ -21,7 +21,68 @@ from simpledsp_tpu.ops import fft as _fft
 __all__ = ["spectrogram_ri", "welch_psd", "window_taps",
            "stft_ri", "istft_ri", "csd_ri", "coherence", "periodogram",
            "lombscargle", "check_COLA", "check_NOLA", "vectorstrength",
-           "envelope", "envelope_ri"]
+           "envelope", "envelope_ri", "stft_dual_window",
+           "closest_STFT_dual_window"]
+
+
+def _hop_fold(x: np.ndarray, hop: int) -> np.ndarray:
+    """sum_k x shifted by every nonzero multiple of hop, added to x —
+    the periodization that appears in every STFT dual-window identity."""
+    out = x.copy()
+    for k in range(hop, x.size, hop):
+        out[k:] += x[:-k]
+        out[:-k] += x[k:]
+    return out
+
+
+def stft_dual_window(win, hop: int) -> np.ndarray:
+    """Canonical dual window of ``win`` at time step ``hop`` — the
+    window the least-squares inverse STFT implicitly applies (the same
+    weighted-OLA normalization istft_ri computes; host-side f64,
+    scipy's ShortTimeFFT.dual_win semantics).  Raises if the STFT is
+    not invertible (the hop-folded energy has zeros — the NOLA
+    condition)."""
+    win = np.asarray(win)
+    if np.issubdtype(win.dtype, np.integer):
+        raise ValueError("win cannot be of integer dtype")
+    if not (1 <= int(hop) <= win.size):
+        raise ValueError(f"hop={hop} must be in [1, len(win)={win.size}]")
+    dd = _hop_fold(win.real ** 2 + win.imag ** 2, int(hop))
+    if not np.all(dd >= np.finfo(win.dtype).resolution * dd.max()):
+        raise ValueError("STFT not invertible for this (win, hop) "
+                         "(NOLA violated)")
+    return win / dd
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
+                             scaled: bool = True):
+    """The valid STFT dual window closest to ``desired_dual``
+    (scipy.signal.closest_STFT_dual_window semantics): minimizes
+    ``|dual - desired|^2`` (or ``|dual - alpha desired|^2`` over alpha
+    when ``scaled``) subject to the window-duality constraint.  Returns
+    ``(dual_win, alpha)``."""
+    win = np.asarray(win)
+    desired = np.ones_like(win) if desired_dual is None \
+        else np.asarray(desired_dual)
+    if win.ndim != 1 or win.shape != desired.shape:
+        raise ValueError("win and desired_dual must be equal-length 1-D")
+    if not (np.all(np.isfinite(win)) and np.all(np.isfinite(desired))):
+        raise ValueError("win and desired_dual must be finite")
+    hop = int(hop)
+    if not 1 <= hop <= win.size:
+        raise ValueError(f"hop={hop} must be in [1, len(win)={win.size}]")
+    w_d = stft_dual_window(win, hop)
+    # Projection of `desired` onto the duality-constraint manifold.
+    q_d = w_d * _hop_fold(np.conjugate(win) * desired, hop)
+    if not scaled:
+        return w_d + desired - q_d, 1.0
+    num = np.conjugate(q_d) @ w_d
+    den = q_d.real @ q_d.real + q_d.imag @ q_d.imag
+    if not (abs(num) > 0 and den > np.finfo(w_d.dtype).resolution):
+        raise ValueError("scaled closest dual window is numerically "
+                         "unstable; try scaled=False")
+    alpha = num / den
+    return w_d + alpha * (desired - q_d), alpha
 
 
 def check_COLA(window, nperseg: int, noverlap: int,

@@ -451,6 +451,38 @@ def test_envelope_matches_scipy(rng):
         envelope(jnp.zeros(8), (1, None), residual="sideways")
 
 
+def test_stft_dual_windows_match_scipy(rng):
+    """Canonical + closest STFT dual windows (round 5): parity with
+    scipy.signal.closest_STFT_dual_window / ShortTimeFFT.dual_win,
+    real and complex windows, scaled and unscaled."""
+    from scipy.signal import ShortTimeFFT
+    from scipy.signal.windows import gaussian, hann
+    from simpledsp_tpu.ops.spectral import (closest_STFT_dual_window,
+                                            stft_dual_window)
+    for win, hop in [(hann(64), 16), (gaussian(50, 10), 13),
+                     (rng.standard_normal(32) + 1.5, 8),
+                     (hann(48) + 1j * 0.2 * gaussian(48, 9), 12)]:
+        win = np.asarray(win)
+        for desired in (None, np.roll(np.abs(win), 3) + 0.1):
+            for scaled in (True, False):
+                d1, a1 = closest_STFT_dual_window(win, hop, desired,
+                                                  scaled=scaled)
+                d2, a2 = ss.closest_STFT_dual_window(win, hop, desired,
+                                                     scaled=scaled)
+                np.testing.assert_allclose(d1, d2, atol=1e-12)
+                np.testing.assert_allclose(a1, a2, atol=1e-12)
+        mode = "onesided" if np.isrealobj(win) else "twosided"
+        st = ShortTimeFFT(win, hop, fs=1.0, fft_mode=mode)
+        np.testing.assert_allclose(stft_dual_window(win, hop),
+                                   st.dual_win, atol=1e-12)
+    with pytest.raises(ValueError):
+        stft_dual_window(np.ones(8), 9)          # hop > len(win)
+    with pytest.raises(ValueError):
+        closest_STFT_dual_window(np.ones(8, int), 2)
+    with pytest.raises(ValueError):
+        stft_dual_window(np.ones(8) * np.r_[1, 0, 0, 0, 0, 0, 0, 0], 4)
+
+
 def test_envelope_complex_matches_scipy(rng):
     """Complex input (scipy's full-spectrum branch, round 5): no
     analytic doubling; residual via the frequency-domain-resample
