@@ -195,8 +195,10 @@ from simpledsp_tpu.ops.peaks import (
     argrelmax,
     argrelmin,
     find_peaks,
+    find_peaks_cwt,
     peak_prominences,
     peak_widths,
+    ricker,
 )
 from simpledsp_tpu.ops.splines import (
     cspline1d,

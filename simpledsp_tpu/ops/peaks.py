@@ -14,8 +14,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["find_peaks", "peak_prominences", "peak_widths",
-           "argrelmax", "argrelmin", "argrelextrema"]
+__all__ = ["find_peaks", "find_peaks_cwt", "ricker", "peak_prominences",
+           "peak_widths", "argrelmax", "argrelmin", "argrelextrema"]
 
 
 def _local_maxima(x: np.ndarray):
@@ -263,6 +263,127 @@ def argrelextrema(x, comparator, order: int = 1, mode: str = "clip"
         m &= comparator(x, x[..., plus])
         m &= comparator(x, x[..., minus])
     return np.nonzero(m)
+
+
+def ricker(points, a) -> np.ndarray:
+    """Ricker ("Mexican hat") wavelet — the default `find_peaks_cwt`
+    kernel, A (1 - x^2/a^2) exp(-x^2/2a^2) with the unit-energy
+    normalization (the public scipy.signal.ricker was removed in 1.15;
+    kept here because the CWT peak finder needs it)."""
+    amp = 2.0 / (np.sqrt(3.0 * a) * np.pi ** 0.25)
+    x = np.arange(0, points) - (points - 1.0) / 2.0
+    xsq = x * x
+    return amp * (1.0 - xsq / a ** 2) * np.exp(-xsq / (2.0 * a ** 2))
+
+
+def _cwt_rows(data: np.ndarray, wavelet, widths) -> np.ndarray:
+    """Row per width: data convolved ('same') with the reversed
+    conjugated wavelet of support min(10*width, len(data))."""
+    out = np.empty((len(widths), len(data)))
+    for i, w in enumerate(widths):
+        n = np.min([10 * w, len(data)])
+        wv = np.conj(np.asarray(wavelet(n, w))[::-1])
+        out[i] = np.convolve(data, wv, mode="same")
+    return out
+
+
+def _ridge_lines(mat: np.ndarray, max_distances, gap_thresh):
+    """Connect per-row relative maxima into ridge lines, widest row
+    down (Du et al. 2006, the construction scipy's CWT peak finder
+    uses): a maximum joins the line whose newest column (as of the
+    START of its row — a snapshot, so several maxima may join the same
+    line) is nearest within max_distances[row]; lines idle for more
+    than gap_thresh rows are closed."""
+    n_rows, n_cols = mat.shape
+    if len(max_distances) < n_rows:
+        raise ValueError("max_distances must have at least as many rows "
+                         "as the CWT matrix")
+    idx = np.arange(n_cols)
+    is_max = np.ones(mat.shape, dtype=bool)
+    for s in (1, ):
+        is_max &= np.greater(mat, mat[:, np.clip(idx + s, 0, n_cols - 1)])
+        is_max &= np.greater(mat, mat[:, np.clip(idx - s, 0, n_cols - 1)])
+    rows_with = np.nonzero(is_max.any(axis=1))[0]
+    if rows_with.size == 0:
+        return []
+    start = rows_with[-1]
+    active = [[[start], [c], 0] for c in np.nonzero(is_max[start])[0]]
+    closed = []
+    for row in range(start - 1, -1, -1):
+        for line in active:
+            line[2] += 1
+        prev_cols = np.array([line[1][-1] for line in active])
+        for col in np.nonzero(is_max[row])[0]:
+            line = None
+            if prev_cols.size:
+                diffs = np.abs(col - prev_cols)
+                nearest = int(np.argmin(diffs))
+                if diffs[nearest] <= max_distances[row]:
+                    line = active[nearest]
+            if line is not None:
+                line[0].append(row)
+                line[1].append(col)
+                line[2] = 0
+            else:
+                active.append([[row], [col], 0])
+        for i in range(len(active) - 1, -1, -1):
+            if active[i][2] > gap_thresh:
+                closed.append(active[i])
+                del active[i]
+    out = []
+    for line in closed + active:
+        # scipy's inverse-permutation scatter (NOT a plain pair sort —
+        # they differ when one line gained two maxima in one row);
+        # replicated for index-exact parity.
+        order = np.argsort(np.asarray(line[0]))
+        rows = np.zeros_like(order)
+        cols = np.zeros_like(order)
+        rows[order] = line[0]
+        cols[order] = line[1]
+        out.append((rows, cols))
+    return out
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1,
+                   noise_perc: float = 10,
+                   window_size: Optional[int] = None) -> np.ndarray:
+    """Wavelet-ridge peak finding (scipy.signal.find_peaks_cwt
+    semantics): CWT across ``widths``, ridge-line linking widest-scale
+    down, then length + SNR filtering against a windowed noise floor at
+    the finest scale.  Host-side f64 analysis, like the rest of the
+    peak family."""
+    vector = np.asarray(vector)
+    widths = np.atleast_1d(np.asarray(widths))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    if wavelet is None:
+        wavelet = ricker
+    mat = _cwt_rows(vector, wavelet, widths)
+    lines = _ridge_lines(mat, max_distances, gap_thresh)
+    # Filter: minimum ridge length and SNR vs the noise_perc-percentile
+    # of |finest-scale| values in a window around the peak.
+    n = mat.shape[1]
+    if min_length is None:
+        min_length = np.ceil(mat.shape[0] / 4)
+    if window_size is None:
+        window_size = np.ceil(n / 20)
+    hw, odd = divmod(int(window_size), 2)
+    row0 = mat[0]
+    noises = np.array([
+        np.percentile(row0[max(i - hw, 0): min(i + hw + odd, n)],
+                      noise_perc) for i in range(n)])
+    locs = []
+    for rows, cols in lines:
+        if len(rows) < min_length:
+            continue
+        snr = abs(mat[rows[0], cols[0]] / noises[cols[0]])
+        if snr < min_snr:
+            continue
+        locs.append(cols[0])
+    return np.sort(np.asarray(locs))
 
 
 def argrelmax(x, order: int = 1, mode: str = "clip"):

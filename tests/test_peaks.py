@@ -112,3 +112,32 @@ def test_peak_widths_plateau_rel0_no_nan():
     for u, v in zip((w, wh, li, ri), ref):
         np.testing.assert_allclose(u, v)
     assert np.all(np.isfinite(w))
+
+
+def test_find_peaks_cwt_matches_scipy():
+    """Wavelet-ridge peak finding (round 5): index-exact vs scipy across
+    widths/filters, noise-only input, and a custom wavelet."""
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 10, 800)
+    x = (np.exp(-((t - 2.0) / 0.15) ** 2)
+         + 0.8 * np.exp(-((t - 5.0) / 0.4) ** 2)
+         + 0.6 * np.exp(-((t - 8.0) / 0.1) ** 2)
+         + 0.05 * rng.standard_normal(t.size))
+    for widths in (np.arange(1, 20), np.arange(2, 35, 3), [5, 10, 15]):
+        for kw in (dict(), dict(min_snr=2.0), dict(noise_perc=25),
+                   dict(gap_thresh=3), dict(min_length=3),
+                   dict(window_size=41)):
+            got = pk.find_peaks_cwt(x, widths, **kw)
+            ref = ss.find_peaks_cwt(x, widths, **kw)
+            assert np.array_equal(got, ref), (widths, kw)
+    y = rng.standard_normal(300)
+    assert np.array_equal(pk.find_peaks_cwt(y, np.arange(1, 10)),
+                          ss.find_peaks_cwt(y, np.arange(1, 10)))
+
+    def gauss_wavelet(points, a):
+        v = np.arange(points) - (points - 1.0) / 2
+        return np.exp(-v ** 2 / (2 * a * a))
+
+    assert np.array_equal(
+        pk.find_peaks_cwt(x, np.arange(1, 12), wavelet=gauss_wavelet),
+        ss.find_peaks_cwt(x, np.arange(1, 12), wavelet=gauss_wavelet))
