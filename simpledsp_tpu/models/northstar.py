@@ -90,12 +90,14 @@ class NorthStarChain:
         # - "reg" (n1 >= 32): row-major (0,1,2).  XLA's entry-layout
         #   heuristic otherwise compacts the planes, inserting two
         #   268 MB/call copies (profiler copy.48/49).
-        # - "k1": k1-major (0,2,1) — the reorder transpose then lowers
-        #   to a FREE layout change (measured at 1024: 8.0 ms vs 14.0
-        #   with a row-major pin, whose forced relayout copies were the
-        #   round-4 1024 shortfall).  Bin order on flatten is unchanged
-        #   (logical shape is identical); on-device consumers are
-        #   layout-agnostic, host fetches pay a strided read.
+        # - "k1": the kernel's literal emission order (2,0,1) — the
+        #   reorder transpose then lowers to a pure layout RELABEL
+        #   (probe_1024_prod matrix at 1024: 6.6 ms vs 8.0 with a
+        #   (0,2,1) pin, 14.0 with row-major — whose forced relayout
+        #   copies were the round-4 1024 shortfall — and 7.8 unpinned).
+        #   Bin order on flatten is unchanged (logical shape is
+        #   identical); on-device consumers are layout-agnostic, host
+        #   fetches pay a strided read.
         from jax.experimental.layout import Format, Layout
         from jax.sharding import SingleDeviceSharding
         # local_devices: under jax.distributed a global-device pin would
@@ -103,7 +105,7 @@ class NorthStarChain:
         klay = (_kchain.resolve_layout(self._fused_ops.n1)
                 if self._fused_ops is not None else "reg")
         rm = Format(Layout(major_to_minor=(0, 1, 2) if klay == "reg"
-                           else (0, 2, 1)),
+                           else (2, 0, 1)),
                     SingleDeviceSharding(jax.local_devices()[0]))
         self._jit = jax.jit(self._forward,
                             out_shardings=((rm, rm), None))

@@ -31,6 +31,7 @@ def main():
     dev = SingleDeviceSharding(jax.local_devices()[0])
     rm = Format(Layout(major_to_minor=(0, 1, 2)), dev)
     km = Format(Layout(major_to_minor=(0, 2, 1)), dev)
+    kn = Format(Layout(major_to_minor=(2, 0, 1)), dev)
 
     def fwd(layout, flat, xx, ss):
         return kchain.fused_chain_frames(
@@ -48,6 +49,7 @@ def main():
                     else jax.jit(f))
     fk = functools.partial(fwd, "k1", True)
     fns["k1_flat1_pinK"] = jax.jit(fk, out_shardings=((km, km), None))
+    fns["k1_flat1_pinN"] = jax.jit(fk, out_shardings=((kn, kn), None))
 
     def timeit(fn, iters=12):
         return timeit_chained(lambda s: fn(x, s)[1], s0, iters=iters)
