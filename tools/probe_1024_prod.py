@@ -1,8 +1,10 @@
-"""Production-path 1024 chain: layout (reg/k1) x output-layout pin
-(on/off) x flat_out, one process, chained medians — isolates why the
-probe's 7.5 ms k1 measured 14 ms through NorthStarChain.
+"""Production-path chain layout/pin matrix: layout (reg/k1) x
+output-layout pin (row-major / (0,2,1) / kernel-emission (2,0,1) /
+none) x flat_out, one process, chained medians.  Round-5 findings: at
+1024 the (2,0,1) emission-order pin turns the k1 reorder into a free
+layout relabel (6.6 ms vs reg+pin 9.2).
 
-Run:  python -m tools.probe_1024_prod
+Run:  python -m tools.probe_1024_prod [fft_size]
 """
 
 import functools
@@ -14,6 +16,8 @@ from tools.timing import timeit_chained
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
     from jax.experimental.layout import Format, Layout
@@ -21,7 +25,8 @@ def main():
     from simpledsp_tpu.kernels import chain as kchain
     from simpledsp_tpu.models.northstar import NorthStarChain
 
-    c, t, n = 64, 1 << 20, 1024
+    c, t = 64, 1 << 20
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     chain = NorthStarChain(fft_size=n, block_size=256, dtype=jnp.float32)
     ops = chain._fused_ops
     rng = np.random.default_rng(0)
