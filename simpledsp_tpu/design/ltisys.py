@@ -30,9 +30,12 @@ __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
 
 def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
     """Normalize a transfer function so a[0] == 1, trimming leading
-    numerator zeros (scipy.signal.normalize semantics)."""
-    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
-    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    numerator zeros (scipy.signal.normalize semantics; complex
+    coefficients are preserved — analog prototypes may be complex)."""
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    b = b.astype(np.result_type(b.dtype, np.float64))
+    a = a.astype(np.result_type(a.dtype, np.float64))
     if a.ndim != 1 or b.ndim > 2:
         raise ValueError("a must be 1-D, b at most 2-D")
     if a[0] == 0.0:
@@ -56,7 +59,7 @@ def tf2zpk(b, a) -> Tuple[np.ndarray, np.ndarray, float]:
         k = 0.0
     else:
         z = np.roots(b / b[0])
-        k = float(b[0])
+        k = b[0].item()      # python float, or complex for complex b
     p = np.roots(a)
     return z, p, k
 
@@ -166,8 +169,10 @@ def lp2lp(b, a, wo: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     (scipy.signal.lp2lp semantics: direct power-of-wo column scaling of
     the polynomial coefficients; the zpk-level transform lives in
     design/iir.py:lp2lp_zpk)."""
-    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
-    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    b = b.astype(np.result_type(b.dtype, np.float64))
+    a = a.astype(np.result_type(a.dtype, np.float64))
     wo = float(wo)
     d, n = len(a), len(b)
     m = max(d, n)
@@ -182,19 +187,21 @@ def lp2hp(b, a, wo: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     """Low-pass prototype -> high-pass at ``wo``
     (scipy.signal.lp2hp semantics: s -> wo / s, i.e. reversed
     coefficients scaled by powers of wo)."""
-    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
-    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    b = b.astype(np.result_type(b.dtype, np.float64))
+    a = a.astype(np.result_type(a.dtype, np.float64))
     wo = float(wo)
     d, n = len(a), len(b)
     m = max(d, n)
     pwo = wo ** np.arange(m)
     if d >= n:
         outa = a[::-1] * pwo
-        outb = np.zeros(d)
+        outb = np.zeros(d, dtype=b.dtype)
         outb[:n] = b[::-1] * pwo[:n]
     else:
         outb = b[::-1] * pwo
-        outa = np.zeros(n)
+        outa = np.zeros(n, dtype=a.dtype)
         outa[:d] = a[::-1] * pwo[:d]
     return normalize(outb, outa)
 
@@ -204,8 +211,10 @@ def _lp2band(b, a, wo: float, bw: float, stop: bool):
     [band-stop] polynomial expansion (scipy's lp2bp/lp2bs double-sum
     construction)."""
     from math import comb
-    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
-    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    b = np.atleast_1d(np.asarray(b))
+    a = np.atleast_1d(np.asarray(a))
+    b = b.astype(np.result_type(b.dtype, np.float64))
+    a = a.astype(np.result_type(a.dtype, np.float64))
     dd, nn = len(a) - 1, len(b) - 1
     ma = max(nn, dd)
     np_, dp_ = nn + ma, dd + ma
@@ -213,7 +222,7 @@ def _lp2band(b, a, wo: float, bw: float, stop: bool):
     bw = float(bw)
 
     def expand(coefs, deg, out_deg):
-        out = np.zeros(out_deg + 1)
+        out = np.zeros(out_deg + 1, dtype=coefs.dtype)
         for j in range(out_deg + 1):
             val = 0.0
             for i in range(deg + 1):

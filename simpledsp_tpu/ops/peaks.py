@@ -278,8 +278,11 @@ def ricker(points, a) -> np.ndarray:
 
 def _cwt_rows(data: np.ndarray, wavelet, widths) -> np.ndarray:
     """Row per width: data convolved ('same') with the reversed
-    conjugated wavelet of support min(10*width, len(data))."""
-    out = np.empty((len(widths), len(data)))
+    conjugated wavelet of support min(10*width, len(data)); complex
+    wavelets promote the matrix to complex128 (scipy's dtype probe)."""
+    cplx = np.iscomplexobj(np.asarray(wavelet(1, widths[0])))
+    out = np.empty((len(widths), len(data)),
+                   dtype=np.complex128 if cplx else np.float64)
     for i, w in enumerate(widths):
         n = np.min([10 * w, len(data)])
         wv = np.conj(np.asarray(wavelet(n, w))[::-1])
@@ -372,9 +375,23 @@ def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
         window_size = np.ceil(n / 20)
     hw, odd = divmod(int(window_size), 2)
     row0 = mat[0]
+
+    def score(a):
+        # Fraction-interpolated percentile on the SORTED values — equals
+        # np.percentile(linear) for real data but, unlike np.percentile,
+        # also defined for the complex-wavelet case (lexicographic sort,
+        # scipy's scoreatpercentile behavior).
+        s = np.sort(a)
+        pos = noise_perc / 100.0 * (s.size - 1)
+        lo = int(pos)
+        frac = pos - lo
+        if frac == 0:
+            return s[lo]
+        return s[lo] * (1.0 - frac) + s[lo + 1] * frac
+
     noises = np.array([
-        np.percentile(row0[max(i - hw, 0): min(i + hw + odd, n)],
-                      noise_perc) for i in range(n)])
+        score(row0[max(i - hw, 0): min(i + hw + odd, n)])
+        for i in range(n)])
     locs = []
     for rows, cols in lines:
         if len(rows) < min_length:

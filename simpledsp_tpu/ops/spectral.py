@@ -45,9 +45,11 @@ def stft_dual_window(win, hop: int) -> np.ndarray:
     win = np.asarray(win)
     if np.issubdtype(win.dtype, np.integer):
         raise ValueError("win cannot be of integer dtype")
-    if not (1 <= int(hop) <= win.size):
-        raise ValueError(f"hop={hop} must be in [1, len(win)={win.size}]")
-    dd = _hop_fold(win.real ** 2 + win.imag ** 2, int(hop))
+    if not (isinstance(hop, (int, np.integer))
+            and 1 <= hop <= win.size):
+        raise ValueError(f"hop={hop} must be an integer in "
+                         f"[1, len(win)={win.size}]")
+    dd = _hop_fold(win.real ** 2 + win.imag ** 2, hop)
     if not np.all(dd >= np.finfo(win.dtype).resolution * dd.max()):
         raise ValueError("STFT not invertible for this (win, hop) "
                          "(NOLA violated)")
@@ -68,9 +70,10 @@ def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
         raise ValueError("win and desired_dual must be equal-length 1-D")
     if not (np.all(np.isfinite(win)) and np.all(np.isfinite(desired))):
         raise ValueError("win and desired_dual must be finite")
-    hop = int(hop)
-    if not 1 <= hop <= win.size:
-        raise ValueError(f"hop={hop} must be in [1, len(win)={win.size}]")
+    if not (isinstance(hop, (int, np.integer))
+            and 1 <= hop <= win.size):
+        raise ValueError(f"hop={hop} must be an integer in "
+                         f"[1, len(win)={win.size}]")
     w_d = stft_dual_window(win, hop)
     # Projection of `desired` onto the duality-constraint manifold.
     q_d = w_d * _hop_fold(np.conjugate(win) * desired, hop)

@@ -614,3 +614,24 @@ def test_sos2zpk_degenerate_numerator():
                                    np.sort_complex(z2), atol=1e-12)
         np.testing.assert_allclose(np.sort_complex(p1),
                                    np.sort_complex(p2), atol=1e-12)
+
+
+def test_lp2_transforms_preserve_complex_prototypes():
+    """Complex analog prototypes flow through lp2* and tf2zpk unharmed
+    (round-5 review fix: the f64 coercion silently realized them)."""
+    from simpledsp_tpu.design import ltisys as lt
+    b = np.array([1 + 0.5j])
+    a = np.array([1, 0.3 + 0.2j, 1])
+    for mine, ref in ((lt.lp2lp, sig.lp2lp), (lt.lp2hp, sig.lp2hp)):
+        mb, ma_ = mine(b, a, 2.0)
+        rb, ra = ref(b, a, 2.0)
+        np.testing.assert_allclose(mb, rb, atol=1e-12)
+        np.testing.assert_allclose(ma_, ra, atol=1e-12)
+    for mine, ref in ((lt.lp2bp, sig.lp2bp), (lt.lp2bs, sig.lp2bs)):
+        mb, ma_ = mine(b, a, 2.0, 0.5)
+        rb, ra = ref(b, a, 2.0, 0.5)
+        np.testing.assert_allclose(mb, rb, atol=1e-12)
+        np.testing.assert_allclose(ma_, ra, atol=1e-12)
+    _, _, k = lt.tf2zpk(b, a)
+    _, _, k2 = sig.tf2zpk(b, a)
+    assert np.allclose(k, k2) and isinstance(k, complex)

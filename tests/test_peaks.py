@@ -141,3 +141,22 @@ def test_find_peaks_cwt_matches_scipy():
     assert np.array_equal(
         pk.find_peaks_cwt(x, np.arange(1, 12), wavelet=gauss_wavelet),
         ss.find_peaks_cwt(x, np.arange(1, 12), wavelet=gauss_wavelet))
+
+
+def test_find_peaks_cwt_complex_wavelet():
+    """Complex wavelets promote the CWT matrix to complex128 (round-5
+    review fix): lexicographic maxima + fraction-percentile noise floor,
+    index-exact vs scipy."""
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 10, 500)
+    x = (np.exp(-((t - 3) / 0.2) ** 2)
+         + 0.7 * np.exp(-((t - 7) / 0.3) ** 2)
+         + 0.05 * rng.standard_normal(500))
+
+    def morlet_like(points, a):
+        v = (np.arange(points) - (points - 1.0) / 2) / a
+        return np.exp(1j * 5 * v) * np.exp(-v * v / 2)
+
+    got = pk.find_peaks_cwt(x, np.arange(1, 10), wavelet=morlet_like)
+    ref = ss.find_peaks_cwt(x, np.arange(1, 10), wavelet=morlet_like)
+    assert np.array_equal(got, ref)

@@ -478,6 +478,10 @@ def test_stft_dual_windows_match_scipy(rng):
     with pytest.raises(ValueError):
         stft_dual_window(np.ones(8), 9)          # hop > len(win)
     with pytest.raises(ValueError):
+        stft_dual_window(np.ones(8), 4.0)        # non-int hop (scipy too)
+    with pytest.raises(ValueError):
+        closest_STFT_dual_window(np.hanning(32), 8.5)
+    with pytest.raises(ValueError):
         closest_STFT_dual_window(np.ones(8, int), 2)
     with pytest.raises(ValueError):
         stft_dual_window(np.ones(8) * np.r_[1, 0, 0, 0, 0, 0, 0, 0], 4)
