@@ -175,7 +175,16 @@ from simpledsp_tpu.ops.spectral import (
     vectorstrength,
     welch_psd,
 )
+from simpledsp_tpu.design.systems import (
+    StateSpace,
+    TransferFunction,
+    ZerosPolesGain,
+    dlti,
+    lti,
+)
 from simpledsp_tpu.ops.transforms import (
+    CZT,
+    ZoomFFT,
     analytic_ri,
     czt,
     czt_points,

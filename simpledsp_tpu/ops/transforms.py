@@ -39,9 +39,68 @@ from simpledsp_tpu.ops.fft import fft_ri, ifft_ri, rfft_ri
 
 __all__ = [
     "czt", "czt_ri", "czt_points", "zoom_fft", "zoom_fft_ri",
+    "CZT", "ZoomFFT",
     "dct", "idct", "hilbert", "analytic_ri", "hilbert2", "hilbert2_ri",
     "goertzel", "goertzel_ri",
 ]
+
+
+class CZT:
+    """Callable chirp-z transform plan for fixed (n, m, w, a)
+    (scipy.signal.CZT semantics) over the framework's czt engine; the
+    per-plan tables are cached by the underlying jit."""
+
+    def __init__(self, n: int, m: "int | None" = None, w=None,
+                 a: complex = 1.0 + 0.0j):
+        self.n = int(n)
+        if self.n < 1:
+            raise ValueError("n must be positive")
+        self.m = self.n if m is None else int(m)
+        if self.m < 1:
+            raise ValueError("m must be positive")
+        if w is None:
+            w = np.exp(-2j * np.pi / self.m)
+        self.w = complex(w)
+        self.a = complex(a)
+
+    def __call__(self, x, *, axis: int = -1):
+        x = jnp.asarray(x)
+        if x.shape[axis] != self.n:
+            raise ValueError(
+                f"CZT defined for length {self.n}, got {x.shape[axis]}")
+        if axis not in (-1, x.ndim - 1):
+            x = jnp.moveaxis(x, axis, -1)
+        y = czt(x, self.m, w=self.w, a=self.a)
+        return y if axis in (-1, x.ndim - 1) else jnp.moveaxis(y, -1, axis)
+
+    def points(self) -> np.ndarray:
+        """The m z-plane evaluation points of this plan."""
+        return czt_points(self.m, self.w, self.a)
+
+
+class ZoomFFT(CZT):
+    """Callable zoom-FFT plan (scipy.signal.ZoomFFT semantics): the CZT
+    specialized to a frequency band [f1, f2] of the fs-periodic
+    spectrum."""
+
+    def __init__(self, n: int, fn, m: "int | None" = None, *,
+                 fs: float = 2.0, endpoint: bool = False):
+        n = int(n)
+        fn = np.atleast_1d(np.asarray(fn, dtype=np.float64))
+        if fn.size == 2:
+            f1, f2 = float(fn[0]), float(fn[1])
+        elif fn.size == 1:
+            f1, f2 = 0.0, float(fn[0])
+        else:
+            raise ValueError("fn must be one or two frequencies")
+        m = n if m is None else int(m)
+        # Same arc construction as zoom_fft_ri (endpoint=True stretches
+        # the span so f2 lands on the last of the m samples).
+        span = ((f2 - f1) * m / (m - 1)) if (endpoint and m > 1)             else (f2 - f1)
+        w = np.exp(-2j * np.pi * span / (fs * m))
+        a = np.exp(2j * np.pi * f1 / fs)
+        super().__init__(n, m, w=w, a=a)
+        self.f1, self.f2, self.fs = f1, f2, float(fs)
 
 
 def czt_points(m: int, w=None, a: complex = 1.0 + 0.0j) -> np.ndarray:

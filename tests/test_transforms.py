@@ -548,3 +548,32 @@ def test_envelope_residual_with_resampling(rng):
                                              n_out=n_out))
                 np.testing.assert_allclose(
                     got, ref, atol=1e-12, err_msg=f"{bp} {res} {n_out}")
+
+
+def test_czt_zoomfft_plan_classes(rng):
+    """Callable CZT/ZoomFFT plans (round 5) vs scipy's classes."""
+    from simpledsp_tpu.ops.transforms import CZT, ZoomFFT
+    x = rng.standard_normal(64) + 1j * rng.standard_normal(64)
+    for kw in (dict(), dict(m=33),
+               dict(m=20, w=np.exp(-2j * np.pi / 21) * 1.001,
+                    a=1.02 * np.exp(0.3j))):
+        mine, ref = CZT(64, **kw), ss.CZT(64, **kw)
+        np.testing.assert_allclose(np.asarray(mine(x)), ref(x), atol=1e-9)
+        np.testing.assert_allclose(mine.points(), ref.points(), atol=1e-12)
+    xb = rng.standard_normal((3, 64))
+    np.testing.assert_allclose(np.asarray(CZT(64, 20)(xb)),
+                               ss.CZT(64, 20)(xb), atol=1e-9)
+    xt = xb.T.copy()
+    np.testing.assert_allclose(np.asarray(CZT(64, 20)(xt, axis=0)),
+                               ss.CZT(64, 20)(xt, axis=0), atol=1e-9)
+    for kw in (dict(), dict(m=17), dict(fs=10.0), dict(endpoint=True)):
+        zf, rz = ZoomFFT(64, [0.1, 0.4], **kw), ss.ZoomFFT(64, [0.1, 0.4],
+                                                           **kw)
+        np.testing.assert_allclose(np.asarray(zf(x.real)), rz(x.real),
+                                   atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ZoomFFT(64, 0.75)(x.real)),
+                               ss.ZoomFFT(64, 0.75)(x.real), atol=1e-10)
+    with pytest.raises(ValueError):
+        CZT(64)(x[:32])
+    with pytest.raises(ValueError):
+        ZoomFFT(64, [0.1, 0.2, 0.3])
