@@ -41,6 +41,11 @@ from simpledsp_tpu.design.fir import (firwin, firwin_2d,
                                       kaiser_beta, rrc_taps)
 from simpledsp_tpu.design.iir import (
     bessel,
+    besselap,
+    buttap,
+    cheb1ap,
+    cheb2ap,
+    ellipap,
     butter,
     buttord,
     cheb1ord,
@@ -58,6 +63,7 @@ from simpledsp_tpu.design.iir import (
     zpk2sos,
 )
 from simpledsp_tpu.design.ltisys import (
+    abcd_normalize,
     bilinear,
     bode,
     cont2discrete,
@@ -66,6 +72,7 @@ from simpledsp_tpu.design.ltisys import (
     dimpulse,
     dlsim,
     dstep,
+    findfreqs,
     freqresp,
     freqz_sos,
     impulse,

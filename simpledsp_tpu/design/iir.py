@@ -37,6 +37,7 @@ import numpy as np
 from simpledsp_tpu.design.biquad import BiquadCascadeDesign, FilterType
 
 __all__ = [
+    "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
     "butter_ap",
     "gammatone",
     "cheby1_ap",
@@ -145,6 +146,31 @@ def _ellipdeg(n: int, k1: float) -> float:
 # ----------------------------------------------------------------------------
 # Analog low-pass prototypes (cutoff 1 rad/s), (zeros, poles, gain).
 # ----------------------------------------------------------------------------
+
+def buttap(N: int):
+    """scipy.signal.buttap name for :func:`butter_ap`."""
+    return butter_ap(N)
+
+
+def cheb1ap(N: int, rp: float):
+    """scipy.signal.cheb1ap name for :func:`cheby1_ap`."""
+    return cheby1_ap(N, rp)
+
+
+def cheb2ap(N: int, rs: float):
+    """scipy.signal.cheb2ap name for :func:`cheby2_ap`."""
+    return cheby2_ap(N, rs)
+
+
+def ellipap(N: int, rp: float, rs: float):
+    """scipy.signal.ellipap name for :func:`ellip_ap`."""
+    return ellip_ap(N, rp, rs)
+
+
+def besselap(N: int, norm: str = "phase"):
+    """scipy.signal.besselap name for :func:`bessel_ap`."""
+    return bessel_ap(N, norm)
+
 
 def butter_ap(n: int) -> Tuple[np.ndarray, np.ndarray, float]:
     """Butterworth analog prototype: poles on the unit left-half circle."""

@@ -24,6 +24,7 @@ __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
            "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
            "freqz_sos", "bilinear", "tf2ss", "ss2tf", "ss2zpk", "zpk2ss",
            "lp2lp", "lp2hp", "lp2bp", "lp2bs",
+           "findfreqs", "abcd_normalize",
            "lsim", "impulse", "step", "dlsim", "dimpulse", "dstep",
            "bode", "freqresp", "dbode", "dfreqresp"]
 
@@ -162,6 +163,59 @@ def bilinear(b, a, fs: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     if bd.size < ad.size:
         bd = np.concatenate([np.zeros(ad.size - bd.size), bd])
     return bd, ad
+
+
+def findfreqs(num, den, N: int, kind: str = "ba") -> np.ndarray:
+    """Log-spaced frequency grid suited to an analog filter's response
+    (scipy.signal.findfreqs semantics): decades chosen from the pole and
+    zero magnitudes (kind='ba': polynomial coefficients; 'zp': roots)."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.asarray(den)))
+        tz = np.atleast_1d(np.roots(np.asarray(num)))
+    elif kind == "zp":
+        ep = np.atleast_1d(np.asarray(den))
+        tz = np.atleast_1d(np.asarray(num))
+    else:
+        raise ValueError("input must be one of {'ba', 'zp'}")
+    ep = ep.astype(np.complex128)
+    tz = tz.astype(np.complex128)
+    if ep.size == 0:
+        ep = np.asarray([-1000.0 + 0j])
+    ez = np.concatenate([ep[ep.imag >= 0],
+                         tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)]])
+    integ = (np.abs(ez) < 1e-10).astype(np.float64)
+    hfreq = np.round(np.log10(np.max(3.0 * np.abs(ez.real + integ)
+                                     + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.round(np.log10(0.1 * np.min(np.abs((ez + integ).real)
+                                           + 2.0 * ez.imag)) - 0.5)
+    return np.logspace(lfreq, hfreq, int(N))
+
+
+def abcd_normalize(A=None, B=None, C=None, D=None):
+    """Fill in and shape-check state-space matrices, inferring missing
+    ones as zeros (scipy.signal.abcd_normalize semantics)."""
+    if A is None and B is None and C is None:
+        raise ValueError("Dimension n is undefined for A = B = C = None")
+    if B is None and D is None:
+        raise ValueError("Dimension p is undefined for B = D = None")
+    if C is None and D is None:
+        raise ValueError("Dimension q is undefined for C = D = None")
+    mats = [np.atleast_2d(np.asarray(m, dtype=np.float64))
+            if m is not None else np.zeros((0, 0)) for m in (A, B, C, D)]
+    A, B, C, D = mats
+    n = A.shape[0] or B.shape[0] or C.shape[1] or 0
+    p = B.shape[1] or D.shape[1] or 0
+    q = C.shape[0] or D.shape[0] or 0
+    A = np.zeros((n, n)) if A.size == 0 else A
+    B = np.zeros((n, p)) if B.size == 0 else B
+    C = np.zeros((q, n)) if C.size == 0 else C
+    D = np.zeros((q, p)) if D.size == 0 else D
+    for name, m, want in (("A", A, (n, n)), ("B", B, (n, p)),
+                          ("C", C, (q, n)), ("D", D, (q, p))):
+        if m.shape != want:
+            raise ValueError(f"Parameter {name} has shape {m.shape} but "
+                             f"should be {want}")
+    return A, B, C, D
 
 
 def lp2lp(b, a, wo: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:

@@ -635,3 +635,50 @@ def test_lp2_transforms_preserve_complex_prototypes():
     _, _, k = lt.tf2zpk(b, a)
     _, _, k2 = sig.tf2zpk(b, a)
     assert np.allclose(k, k2) and isinstance(k, complex)
+
+
+def test_analog_plumbing_matches_scipy():
+    """Round 5: the scipy-named analog plumbing — *ap prototype aliases,
+    findfreqs grids, abcd_normalize shape inference."""
+    from simpledsp_tpu.design import ltisys as lt
+    from simpledsp_tpu.design.iir import (besselap, buttap, cheb1ap,
+                                          cheb2ap, ellipap)
+    for mine, ref, args in ((buttap, sig.buttap, (4,)),
+                            (cheb1ap, sig.cheb1ap, (4, 1.0)),
+                            (cheb2ap, sig.cheb2ap, (4, 30.0)),
+                            (ellipap, sig.ellipap, (4, 1.0, 40.0)),
+                            (besselap, sig.besselap, (5,))):
+        z1, p1, k1 = mine(*args)
+        z2, p2, k2 = ref(*args)
+        np.testing.assert_allclose(np.sort_complex(np.atleast_1d(z1)),
+                                   np.sort_complex(np.atleast_1d(z2)),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.sort_complex(p1),
+                                   np.sort_complex(p2), atol=1e-12)
+        assert abs(k1 - k2) < 1e-12
+    num = np.real(np.poly([-3.0, -30.0]))
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        r = (-np.abs(rng.uniform(0.01, 1000, 3))
+             + 1j * rng.uniform(0, 50, 3))
+        den = np.real(np.poly(np.concatenate([r, np.conj(r)])))
+        np.testing.assert_allclose(lt.findfreqs(num, den, 27),
+                                   sig.findfreqs(num, den, 27),
+                                   rtol=1e-10)
+    np.testing.assert_allclose(
+        lt.findfreqs([-1 + 4j], [-2 + 1j, -5], 15, kind="zp"),
+        sig.findfreqs([-1 + 4j], [-2 + 1j, -5], 15, kind="zp"),
+        rtol=1e-10)
+    with pytest.raises(ValueError):
+        lt.findfreqs([1.0], [1.0], 5, kind="nope")
+    for kw in (dict(A=[[1, 2], [3, 4]], B=[[5], [6]], D=[[7]]),
+               dict(B=[[1], [2]], C=[[3, 4]]),
+               dict(A=[[1]], C=[[2]], D=[[3]])):
+        for m1, m2 in zip(lt.abcd_normalize(**kw),
+                          sig.abcd_normalize(**kw)):
+            assert np.asarray(m1).shape == np.asarray(m2).shape
+            np.testing.assert_allclose(np.asarray(m1), np.asarray(m2))
+    with pytest.raises(ValueError):
+        lt.abcd_normalize(D=[[1]])
+    with pytest.raises(ValueError):
+        lt.abcd_normalize(A=[[1]], B=[[1]], C=[[1]], D=[[1, 2]])
