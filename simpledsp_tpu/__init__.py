@@ -182,6 +182,7 @@ from simpledsp_tpu.ops.spectral import (
     vectorstrength,
     welch_psd,
 )
+from simpledsp_tpu.design.placement import place_poles
 from simpledsp_tpu.design.systems import (
     StateSpace,
     TransferFunction,
