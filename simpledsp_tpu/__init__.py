@@ -40,6 +40,7 @@ from simpledsp_tpu.design.fir import (
 from simpledsp_tpu.design.fir import (firwin, firwin_2d,
                                       kaiser_beta, rrc_taps)
 from simpledsp_tpu.design.iir import (
+    band_stop_obj,
     bessel,
     besselap,
     buttap,

@@ -38,6 +38,7 @@ from simpledsp_tpu.design.biquad import BiquadCascadeDesign, FilterType
 
 __all__ = [
     "buttap", "cheb1ap", "cheb2ap", "ellipap", "besselap",
+    "band_stop_obj",
     "butter_ap",
     "gammatone",
     "cheby1_ap",
@@ -146,6 +147,44 @@ def _ellipdeg(n: int, k1: float) -> float:
 # ----------------------------------------------------------------------------
 # Analog low-pass prototypes (cutoff 1 rad/s), (zeros, poles, gain).
 # ----------------------------------------------------------------------------
+
+def band_stop_obj(wp, ind: int, passb, stopb, gpass: float,
+                  gstop: float, type: str):
+    """Band-stop order objective (scipy.signal.band_stop_obj semantics):
+    the filter order needed when passband edge ``ind`` moves to ``wp``
+    — the function scipy's *ord selectors minimize for band-stop
+    designs; the framework's own order selectors solve the same problem
+    internally, this is the public scipy-compatible surface."""
+    from scipy import special
+
+    if gpass <= 0 or gstop <= 0 or gpass >= gstop:
+        raise ValueError("gpass and gstop must be positive with "
+                         "gpass < gstop")
+    passb = np.asarray(passb, dtype=np.float64).copy()
+    stopb = np.asarray(stopb, dtype=np.float64)
+    passb[ind] = wp
+    nat = (stopb * (passb[0] - passb[1])
+           / (stopb ** 2 - passb[0] * passb[1]))
+    nat = float(np.min(np.abs(nat)))
+    if type == "butter":
+        gs = 10.0 ** (0.1 * abs(gstop))
+        gp = 10.0 ** (0.1 * abs(gpass))
+        return np.log10((gs - 1.0) / (gp - 1.0)) / (2 * np.log10(nat))
+    if type == "cheby":
+        gs = 10.0 ** (0.1 * abs(gstop))
+        gp = 10.0 ** (0.1 * abs(gpass))
+        return np.arccosh(np.sqrt((gs - 1.0) / (gp - 1.0))) \
+            / np.arccosh(nat)
+    if type == "ellip":
+        gs = 10.0 ** (0.1 * gstop)
+        gp = 10.0 ** (0.1 * gpass)
+        arg1 = np.sqrt((gp - 1.0) / (gs - 1.0))
+        arg0 = 1.0 / nat
+        d0 = special.ellipk([arg0 ** 2, 1 - arg0 ** 2])
+        d1 = special.ellipk([arg1 ** 2, 1 - arg1 ** 2])
+        return d0[0] * d1[1] / (d0[1] * d1[0])
+    raise ValueError(f"Incorrect type: {type}")
+
 
 def buttap(N: int):
     """scipy.signal.buttap name for :func:`butter_ap`."""

@@ -682,3 +682,21 @@ def test_analog_plumbing_matches_scipy():
         lt.abcd_normalize(D=[[1]])
     with pytest.raises(ValueError):
         lt.abcd_normalize(A=[[1]], B=[[1]], C=[[1]], D=[[1, 2]])
+
+
+def test_band_stop_obj_matches_scipy():
+    """Round 5: the public band-stop order objective (the function the
+    *ord selectors minimize for band-stop designs)."""
+    from simpledsp_tpu.design.iir import band_stop_obj
+    passb = np.array([0.8, 2.2])
+    stopb = np.array([1.0, 2.0])
+    for wp, ind in ((0.9, 0), (2.1, 1), (0.85, 0)):
+        for t in ("butter", "cheby", "ellip"):
+            got = band_stop_obj(wp, ind, passb, stopb, 1.0, 40.0, t)
+            ref = sig.band_stop_obj(wp, ind, passb.copy(), stopb, 1.0,
+                                    40.0, t)
+            assert np.allclose(got, ref, rtol=1e-12)
+    with pytest.raises(ValueError):
+        band_stop_obj(0.9, 0, passb, stopb, 1.0, 40.0, "nope")
+    with pytest.raises(ValueError):
+        band_stop_obj(0.9, 0, passb, stopb, 40.0, 1.0, "butter")
