@@ -43,6 +43,11 @@ from simpledsp_tpu.design.iir import (
     band_stop_obj,
     bessel,
     besselap,
+    bilinear_zpk,
+    lp2bp_zpk,
+    lp2bs_zpk,
+    lp2hp_zpk,
+    lp2lp_zpk,
     buttap,
     cheb1ap,
     cheb2ap,
@@ -64,6 +69,7 @@ from simpledsp_tpu.design.iir import (
     zpk2sos,
 )
 from simpledsp_tpu.design.ltisys import (
+    BadCoefficients,
     abcd_normalize,
     bilinear,
     bode,
@@ -146,6 +152,7 @@ from simpledsp_tpu.ops.fir import (
 )
 from simpledsp_tpu.ops.channelizer import PFBChannelizer
 from simpledsp_tpu.ops.conv import (
+    choose_conv_method,
     convolve,
     correlate,
     correlation_lags,

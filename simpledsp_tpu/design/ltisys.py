@@ -14,13 +14,20 @@ family.
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import numpy as np
 
 from simpledsp_tpu.design.iir import zpk2sos
 
-__all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
+
+class BadCoefficients(UserWarning):
+    """Warning about badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients)."""
+
+__all__ = ["BadCoefficients",
+           "tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
            "normalize", "cont2discrete", "zpk2sos", "sosfreqz",
            "freqz_sos", "bilinear", "tf2ss", "ss2tf", "ss2zpk", "zpk2ss",
            "lp2lp", "lp2hp", "lp2bp", "lp2bs",
@@ -30,22 +37,36 @@ __all__ = ["tf2zpk", "zpk2tf", "tf2sos", "sos2tf", "sos2zpk",
 
 
 def normalize(b, a) -> Tuple[np.ndarray, np.ndarray]:
-    """Normalize a transfer function so a[0] == 1, trimming leading
-    numerator zeros (scipy.signal.normalize semantics; complex
-    coefficients are preserved — analog prototypes may be complex)."""
+    """Normalize a transfer function so a[0] == 1 (scipy.signal.normalize
+    semantics): leading denominator zeros are trimmed, numerator columns
+    within 1e-14 of zero are trimmed with a BadCoefficients warning, and
+    complex coefficients are preserved (analog prototypes may be
+    complex)."""
     b = np.atleast_1d(np.asarray(b))
     a = np.atleast_1d(np.asarray(a))
     b = b.astype(np.result_type(b.dtype, np.float64))
     a = a.astype(np.result_type(a.dtype, np.float64))
     if a.ndim != 1 or b.ndim > 2:
         raise ValueError("a must be 1-D, b at most 2-D")
-    if a[0] == 0.0:
-        raise ValueError("leading denominator coefficient must be nonzero")
+    if np.all(a == 0):
+        raise ValueError("Denominator must have at least one nonzero "
+                         "element.")
+    a = np.trim_zeros(a, "f")
     b = np.atleast_2d(b) / a[0]
     a = a / a[0]
-    # Trim leading all-zero numerator columns (keep at least one).
-    while b.shape[1] > 1 and np.all(b[:, 0] == 0.0):
-        b = b[:, 1:]
+    # Trim leading near-zero numerator columns (keep at least one).
+    leading = 0
+    for j in range(b.shape[1]):
+        if np.all(np.abs(b[:, j]) <= 1e-14):
+            leading += 1
+        else:
+            break
+    if leading > 0:
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless",
+                      BadCoefficients, stacklevel=2)
+        leading = min(leading, b.shape[1] - 1)
+        b = b[:, leading:]
     return (b[0] if b.shape[0] == 1 else b), a
 
 

@@ -28,7 +28,8 @@ import numpy as np
 
 from simpledsp_tpu.ops.fft import _as_ri, _pick_real_dtype, fft_ri, ifft_ri
 
-__all__ = ["convolve", "correlate", "correlation_lags", "deconvolve",
+__all__ = ["choose_conv_method",
+           "convolve", "correlate", "correlation_lags", "deconvolve",
            "fftconvolve", "oaconvolve"]
 
 # Trace-time switch for the fused OLS kernel route (kernels/ols.py) —
@@ -127,6 +128,34 @@ def _apply_mode(y: jnp.ndarray, n: int, m: int, mode: str) -> jnp.ndarray:
         start = lo - 1
         return y[..., start: start + hi - lo + 1]
     raise ValueError(f"unknown mode {mode!r} (use 'full', 'same', 'valid')")
+
+
+def choose_conv_method(in1, in2, mode: str = "full",
+                       measure: bool = False):
+    """Which method :func:`convolve`'s ``method='auto'`` would pick for
+    these operands (scipy.signal.choose_conv_method API) — answered
+    with THIS framework's measured ON-DEVICE crossover (min length > 96
+    routes to the matmul-FFT engine), not scipy's CPU heuristic.  With
+    ``measure=True`` both framework paths are timed on the current
+    backend and (method, times) is returned."""
+    n = np.shape(np.asarray(in1))[-1]
+    m = np.shape(np.asarray(in2))[-1]
+    method = "fft" if min(n, m) > 96 else "direct"
+    if not measure:
+        return method
+    import time as _time
+
+    times = {}
+    x1 = jnp.asarray(in1)
+    x2 = jnp.asarray(in2)
+    for meth in ("fft", "direct"):
+        y = convolve(x1, x2, mode, method=meth)
+        jax.block_until_ready(y)
+        t0 = _time.perf_counter()
+        y = convolve(x1, x2, mode, method=meth)
+        jax.block_until_ready(y)
+        times[meth] = _time.perf_counter() - t0
+    return ("fft" if times["fft"] < times["direct"] else "direct"), times
 
 
 def convolve(x: jnp.ndarray, h, mode: str = "full", *,

@@ -374,8 +374,23 @@ class TestLTIConversions:
         bns, ans = sig.normalize([0.0, 2.0, 4.0], [2.0, 1.0])
         np.testing.assert_allclose(bn, bns)
         np.testing.assert_allclose(an, ans)
+        # scipy trims leading denominator zeros (round-5 alignment)
+        bn, an = lt.normalize([1.0], [0.0, 1.0])
+        bns, ans = sig.normalize([1.0], [0.0, 1.0])
+        np.testing.assert_allclose(bn, bns)
+        np.testing.assert_allclose(an, ans)
         with pytest.raises(ValueError):
-            lt.normalize([1.0], [0.0, 1.0])
+            lt.normalize([1.0], [0.0, 0.0])      # all-zero denominator
+        # near-zero numerator columns trim with the scipy warning class
+        from simpledsp_tpu.design.ltisys import BadCoefficients
+        with pytest.warns(BadCoefficients):
+            bn, an = lt.normalize([1e-16, 1.0], [1.0, 0.5])
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            bns, ans = sig.normalize([1e-16, 1.0], [1.0, 0.5])
+        np.testing.assert_allclose(bn, bns)
+        np.testing.assert_allclose(an, ans)
 
     @pytest.mark.parametrize("method", ["bilinear", "euler",
                                         "backward_diff", "zoh"])

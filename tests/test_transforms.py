@@ -577,3 +577,17 @@ def test_czt_zoomfft_plan_classes(rng):
         CZT(64)(x[:32])
     with pytest.raises(ValueError):
         ZoomFFT(64, [0.1, 0.2, 0.3])
+
+
+def test_choose_conv_method_surface():
+    """scipy API shape; the answer is the framework's own ON-DEVICE
+    crossover (min length > 96 -> the matmul-FFT engine), documented as
+    such — not scipy's CPU heuristic."""
+    from simpledsp_tpu.ops.conv import choose_conv_method
+    assert choose_conv_method(np.ones(50), np.ones(20)) == "direct"
+    assert choose_conv_method(np.ones(4000), np.ones(300)) == "fft"
+    method, times = choose_conv_method(np.ones(512), np.ones(128),
+                                       measure=True)
+    assert method in ("direct", "fft")
+    assert set(times) == {"direct", "fft"} and all(
+        t > 0 for t in times.values())
